@@ -1,0 +1,19 @@
+"""dspnet_tpu — a TPU-native (JAX/Flax/Pallas/pjit) driving-scene-perception framework.
+
+A from-scratch rebuild of the capabilities of the DSPNet reference
+(single-shot multitask network: 2-D detection + per-box distance + semantic
+segmentation), designed TPU-first:
+
+* the whole forward/backward is one jitted program (no per-step graph rebind),
+* anchors are trace-time constants,
+* anchor matching / target assignment / decode+NMS are fixed-shape on-device
+  ops (JAX + Pallas) instead of CUDA kernels,
+* data parallelism is a `jax.sharding.Mesh` + `shard_map`/`pjit` batch shard
+  with psum gradient reduction over ICI.
+
+Reference capability map: see SURVEY.md at the repo root.
+"""
+
+__version__ = "0.1.0"
+
+from dspnet_tpu.ops import anchors, boxes  # noqa: F401

@@ -1,0 +1,229 @@
+"""Shared NHWC building blocks.
+
+TPU-first notes: everything is NHWC (XLA's preferred conv layout on TPU),
+BatchNorm matches MXNet conventions (momentum 0.9 moving-average update,
+``fix_gamma`` -> no learned scale), and the reference's
+GridGenerator+BilinearSampler resampling (identity affine grid) is replaced
+by an explicit align-corners bilinear resize — the exact math of
+MXNet's sampler pair (grid in [-1,1] with endpoints at corner pixel centers,
+``x_src = (x+1)(W-1)/2``).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+BN_EPS = 2e-5
+BN_MOMENTUM = 0.9
+
+
+class BatchNorm(nn.Module):
+    """MXNet-convention BatchNorm (momentum 0.9, eps 2e-5).
+
+    ``fix_gamma=True`` mirrors mx.sym.BatchNorm(fix_gamma=True): scale pinned
+    to 1, only bias (beta) learned. ``use_running_average`` is the inference
+    switch (MXNet `use_global_stats` semantics at test time).
+    """
+
+    fix_gamma: bool = False
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            use_scale=not self.fix_gamma,
+            use_bias=True,
+        )(x)
+
+
+def conv(x, features, kernel, stride=1, pad="same_explicit", use_bias=True, name=None):
+    """MXNet-style Convolution: explicit symmetric padding, NHWC."""
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if pad == "same_explicit":
+        pad = ((kernel[0] - 1) // 2, (kernel[1] - 1) // 2)
+    if isinstance(pad, int):
+        pad = (pad, pad)
+    padding = [(pad[0], pad[0]), (pad[1], pad[1])]
+    return nn.Conv(
+        features=features,
+        kernel_size=kernel,
+        strides=stride,
+        padding=padding,
+        use_bias=use_bias,
+        name=name,
+    )(x)
+
+
+class ConvAct(nn.Module):
+    """conv + (optional BN) + relu — reference symbol/common.py:4-38."""
+
+    features: int
+    kernel: tuple = (1, 1)
+    stride: tuple = (1, 1)
+    pad: tuple = (0, 0)
+    use_batchnorm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = conv(x, self.features, self.kernel, self.stride, self.pad, name="conv")
+        if self.use_batchnorm:
+            x = BatchNorm(name="bn")(x, train)
+        return nn.relu(x)
+
+
+class L2Normalize(nn.Module):
+    """Channel L2-normalization with learned per-channel scale
+    (reference symbol/common.py:366-373, used for VGG relu4_3)."""
+
+    init_scale: float = 20.0
+
+    @nn.compact
+    def __call__(self, x):
+        norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True) + 1e-10)
+        scale = self.param(
+            "scale", lambda key, shape: jnp.full(shape, self.init_scale), (x.shape[-1],)
+        )
+        return x / norm * scale
+
+
+def max_pool(x, kernel, stride, pad=(0, 0)):
+    """MXNet 'valid'-convention max pool (floor output size)."""
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(pad, int):
+        pad = (pad, pad)
+    return nn.max_pool(
+        x,
+        window_shape=kernel,
+        strides=stride,
+        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+    )
+
+
+def max_pool_full(x, kernel, stride, pad=(0, 0)):
+    """MXNet 'full'-convention max pool (ceil output size) — used by the
+    legacy VGG-SSD pool5 path."""
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(pad, int):
+        pad = (pad, pad)
+    h, w = x.shape[1], x.shape[2]
+
+    def extra(size, k, s, p):
+        # ceil vs floor difference of ((size + 2p - k) / s)
+        import math
+
+        out_ceil = int(math.ceil((size + 2 * p - k) / s)) + 1
+        out_floor = int(math.floor((size + 2 * p - k) / s)) + 1
+        return (out_ceil - out_floor) * s
+
+    eh = extra(h, kernel[0], stride[0], pad[0])
+    ew = extra(w, kernel[1], stride[1], pad[1])
+    return nn.max_pool(
+        x,
+        window_shape=kernel,
+        strides=stride,
+        padding=[(pad[0], pad[0] + eh), (pad[1], pad[1] + ew)],
+    )
+
+
+def avg_pool(x, kernel, stride, pad=(0, 0)):
+    if isinstance(kernel, int):
+        kernel = (kernel, kernel)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(pad, int):
+        pad = (pad, pad)
+    return nn.avg_pool(
+        x,
+        window_shape=kernel,
+        strides=stride,
+        padding=[(pad[0], pad[0]), (pad[1], pad[1])],
+    )
+
+
+def resize_bilinear_align_corners(x, target_hw: Sequence[int]):
+    """Bilinear resize with align_corners=True on NHWC.
+
+    Equivalent to the reference's GridGenerator(identity affine) +
+    BilinearSampler pair (multitask_symbol_builder.py:574-581): source
+    coordinate ``x_src = (x_norm + 1) * (W_src - 1) / 2`` with the normalized
+    grid hitting +-1 exactly at corner pixel centers.
+    """
+    th, tw = int(target_hw[0]), int(target_hw[1])
+    b, h, w, c = x.shape
+    if (h, w) == (th, tw):
+        return x
+
+    def axis_coords(src, dst):
+        if dst == 1:
+            return jnp.zeros((1,), jnp.float32)
+        return jnp.arange(dst, dtype=jnp.float32) * ((src - 1) / (dst - 1))
+
+    ys = axis_coords(h, th)
+    xs = axis_coords(w, tw)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
+    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
+
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def bilinear_upsample_kernel(size: int, dtype=np.float32) -> np.ndarray:
+    """Bilinear upsampling filter for deconv init
+    (reference multi_init.py:13-21, upsample_filt)."""
+    factor = (size + 1) // 2
+    center = factor - 1 if size % 2 == 1 else factor - 0.5
+    og = np.ogrid[:size, :size]
+    return ((1 - abs(og[0] - center) / factor) * (1 - abs(og[1] - center) / factor)).astype(dtype)
+
+
+class Deconv2x(nn.Module):
+    """4x4 stride-2 pad-1 transposed conv (exact 2x upsample), initialized
+    with the bilinear filter like the reference (multi_init.py:160-168).
+    Matches mx.sym.Deconvolution(kernel=4, stride=2, pad=1, no_bias default).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+
+        def init(key, shape, dtype=jnp.float32):
+            # flax ConvTranspose kernel: (kh, kw, in, out)
+            filt = bilinear_upsample_kernel(4)
+            k = np.zeros(shape, np.float32)
+            for i in range(min(c_in, self.features)):
+                k[:, :, i, i] = filt
+            return jnp.asarray(k, dtype)
+
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            use_bias=False,
+            kernel_init=init,
+        )(x)
