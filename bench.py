@@ -1,0 +1,69 @@
+"""End-to-end multitask inference throughput benchmark.
+
+Measures the BASELINE.md north-star metric: images/sec/chip for the full
+512x512 multitask pipeline (resnet-50 backbone + SSD/depth head + PSP seg
+head + on-device decode+NMS + seg argmax) on the attached TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is value / 500 (the >=500 img/s/chip target for v5e).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dspnet_tpu.api import create_model
+    from dspnet_tpu.ops.detection import multibox_detection
+
+    H = W = 512
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    bundle = create_model("resnet-50_multi", (H, W), num_classes=8)
+    model = bundle.model
+    anchors = jnp.asarray(bundle.anchors)
+
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (batch, H, W, 3), jnp.float32)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), images[:1])
+
+    @jax.jit
+    def forward(variables, images):
+        out = model.apply(variables, images, train=False)
+        cls_prob = jax.nn.softmax(out["cls_logits"], axis=-1)
+        det = multibox_detection(
+            jnp.swapaxes(cls_prob, 1, 2), out["loc_preds"], anchors,
+            threshold=0.01, nms_threshold=0.45, nms_topk=400,
+        )
+        seg = jnp.argmax(out["seg_logits"], axis=-1)
+        return det, seg
+
+    # warmup / compile
+    jax.block_until_ready(forward(variables, images))
+    # timed
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        det, seg = forward(variables, images)
+    jax.block_until_ready((det, seg))
+    dt = time.perf_counter() - t0
+    imgs_per_sec = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "multitask_inference_throughput_512x512",
+        "value": round(float(imgs_per_sec), 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(float(imgs_per_sec) / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

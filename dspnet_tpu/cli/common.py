@@ -1,0 +1,52 @@
+"""Shared CLI plumbing: logging + dataset resolution."""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+
+def setup_logging(log_dir: str = "log", log_file: str | None = None):
+    """Timestamped file handler under log/ (reference multi_train.py:267-274)."""
+    logger = logging.getLogger()
+    logger.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    os.makedirs(log_dir, exist_ok=True)
+    if log_file is None:
+        log_file = time.strftime("train_%Y%m%d_%H%M%S.log")
+    fh = logging.FileHandler(os.path.join(log_dir, log_file))
+    fh.setFormatter(fmt)
+    logger.addHandler(fh)
+    return logger
+
+
+def resolve_dataset(args, split: str):
+    """Return a SampleIndex for --dataset-root / --synthetic options."""
+    from dspnet_tpu.data import synthetic
+
+    if getattr(args, "synthetic", 0):
+        n = int(args.synthetic)
+        root = os.path.join(getattr(args, "synthetic_dir", "/tmp/dspnet_synth"), split)
+        return synthetic.build_dataset(
+            root,
+            num_samples=n,
+            hw=(args.data_shape[0], args.data_shape[1]),
+            seed=233 if split == "train" else 91,
+        )
+    from dspnet_tpu.data.imdb import load_index
+
+    return load_index(args.dataset_root, split)
+
+
+def parse_data_shape(s):
+    """'3,512,1024' or '512,1024' or '512' -> (H, W)."""
+    parts = [int(x) for x in str(s).split(",")]
+    if len(parts) == 3:
+        return (parts[1], parts[2])
+    if len(parts) == 2:
+        return (parts[0], parts[1])
+    return (parts[0], parts[0])

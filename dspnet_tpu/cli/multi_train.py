@@ -1,0 +1,115 @@
+"""Training CLI — parity with reference multi_train.py:20-100,188-536.
+
+Example (synthetic smoke run):
+  python -m dspnet_tpu.cli.multi_train --network resnet-18_multi \
+      --data-shape 3,128,256 --batch-size 2 --synthetic 4 --end-epoch 1
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dspnet_tpu.api import create_model
+from dspnet_tpu.cli.common import parse_data_shape, resolve_dataset, setup_logging
+from dspnet_tpu.data.iterator import MultiTaskIterator
+from dspnet_tpu.parallel.mesh import make_mesh
+from dspnet_tpu.train.lr import lr_scheduler_from_epochs
+from dspnet_tpu.train.solver import MultiTaskSolver
+from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_prefix
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train a DSPNet multitask network (TPU).")
+    p.add_argument("--network", default="resnet-50_multi")
+    p.add_argument("--data-shape", default="3,512,1024")
+    p.add_argument("--num-classes", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--lr", type=float, default=0.0005)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", type=float, default=0.0005)
+    p.add_argument("--lr-steps", default="80,160,240,320")
+    p.add_argument("--lr-factor", type=float, default=0.5)
+    p.add_argument("--begin-epoch", type=int, default=0)
+    p.add_argument("--end-epoch", type=int, default=2000)
+    p.add_argument("--resume", type=int, default=-1, help="resume from epoch N (-1 off)")
+    p.add_argument("--freeze", default="", help="regex of params to freeze")
+    p.add_argument("--model-dir", default="model")
+    p.add_argument("--dataset-root", default="")
+    p.add_argument("--synthetic", type=int, default=0, help="use N synthetic samples")
+    p.add_argument("--synthetic-dir", default="/tmp/dspnet_synth")
+    p.add_argument("--num-devices", type=int, default=0, help="0 = all")
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--seg-normalize", default="null", choices=["null", "valid"])
+    args = p.parse_args(argv)
+    args.data_shape = parse_data_shape(args.data_shape)
+    return args
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    log = setup_logging()
+    H, W = args.data_shape
+    bundle = create_model(args.network, (H, W), args.num_classes)
+    log.info("network=%s task=%s anchors=%d data=%dx%d",
+             bundle.name, bundle.task, bundle.num_anchors, H, W)
+
+    train_index = resolve_dataset(args, "train")
+    train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W), enable_aug=True)
+
+    devices = jax.devices()
+    n_dev = args.num_devices or len(devices)
+    mesh = make_mesh(n_data=n_dev, devices=devices) if n_dev > 1 else None
+    if mesh is not None:
+        assert args.batch_size % n_dev == 0, "batch size must divide device count"
+        log.info("data-parallel over %d devices", n_dev)
+
+    base_lr, schedule = lr_scheduler_from_epochs(
+        args.lr, args.lr_steps, args.lr_factor, len(train_index), args.batch_size,
+        args.begin_epoch,
+    )
+    solver = MultiTaskSolver(
+        bundle.model,
+        bundle.anchors if bundle.anchors is not None else np.zeros((1, 4), np.float32),
+        learning_rate=schedule,
+        momentum=args.momentum,
+        weight_decay=args.wd,
+        batch_size=args.batch_size,
+        mesh=mesh,
+        freeze_pattern=args.freeze or None,
+        seg_normalize=args.seg_normalize,
+    )
+    sample = jnp.zeros((args.batch_size, H, W, 3), jnp.float32)
+    state = solver.init_state(jax.random.PRNGKey(233), sample)
+
+    prefix = checkpoint_prefix(args.model_dir, args.network, H)
+    ckpt = CheckpointManagerWrapper(prefix)
+    begin = args.begin_epoch
+    if args.resume >= 0:
+        state, epoch = ckpt.restore(args.resume if args.resume > 0 else None, state)
+        begin = epoch + 1
+        log.info("resumed from epoch %d", epoch)
+
+    def epoch_cb(epoch, st):
+        ckpt.save(begin + epoch, st)
+        log.info("checkpoint saved: %s step %d", prefix, begin + epoch)
+
+    state = solver.fit(
+        state,
+        train_iter,
+        num_epochs=args.end_epoch - begin,
+        log_fn=log.info,
+        epoch_end_callback=epoch_cb,
+        log_every=args.log_every,
+    )
+    ckpt.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,255 @@
+"""Image-database (imdb) family — dataset parsers producing SampleIndex.
+
+Capability parity with the reference dataset layer:
+  * :class:`Imdb` base with list-file export — dataset/imdb.py:22-110
+  * :class:`PascalVoc` — dataset/pascal_voc.py (XML boxes, difficult flag)
+  * :class:`CityscapesDetSeg` — dataset/cityscapes.py (PASCAL-style XML with
+    the extra <distance> tag normalized /255 and clipped to [0,1],
+    cityscapes.py:160-166; 200-row -1-padded label matrix, :148)
+  * :class:`CocoDet` — dataset/mscoco.py (instances JSON)
+  * :class:`YoloFormat` — dataset/yolo_format.py (txt per image)
+  * :class:`ConcatDB` — dataset/concat_db.py
+  * :class:`TestDB` — dataset/testdb.py (bare image lists for inference)
+
+The unified output contract is a :class:`~dspnet_tpu.data.iterator.Sample`
+list: normalized (cls, x1, y1, x2, y2, dist) rows (dist 0 when the source has
+none) plus an optional segmentation path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import xml.etree.ElementTree as ET
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from dspnet_tpu.data.iterator import Sample, SampleIndex
+
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
+CITYSCAPES_DET_CLASSES = (
+    "person", "rider", "car", "truck", "bus", "train", "motorcycle", "bicycle",
+)
+
+
+class Imdb:
+    """Base: named dataset -> SampleIndex + .lst export (imdb.py:53-93)."""
+
+    def __init__(self, name: str, classes: Sequence[str]):
+        self.name = name
+        self.classes = list(classes)
+        self.num_classes = len(self.classes)
+
+    def samples(self) -> List[Sample]:
+        raise NotImplementedError
+
+    def index(self) -> SampleIndex:
+        return SampleIndex(self.samples())
+
+    def save_imglist(self, fname: str):
+        """lst line: index \t 2 \t label_width \t labels... \t path
+        (imdb.py:81-82)."""
+        with open(fname, "w") as f:
+            for i, s in enumerate(self.samples()):
+                rows = s.label[s.label[:, 0] >= 0]
+                flat = " ".join("%.4f" % v for v in rows.reshape(-1))
+                width = rows.shape[1] if rows.size else 6
+                f.write(f"{i}\t2\t{width}\t{flat}\t{s.image_path}\n")
+
+
+def _parse_voc_xml(xml_path: str, classes: Sequence[str], with_distance: bool):
+    tree = ET.parse(xml_path)
+    size = tree.find("size")
+    width = float(size.find("width").text)
+    height = float(size.find("height").text)
+    rows = []
+    for obj in tree.iter("object"):
+        cls_name = obj.find("name").text.strip().lower()
+        if cls_name not in classes:
+            continue
+        cid = classes.index(cls_name)
+        diff_node = obj.find("difficult")
+        difficult = int(diff_node.text) if diff_node is not None else 0
+        bb = obj.find("bndbox")
+        x1 = float(bb.find("xmin").text) / width
+        y1 = float(bb.find("ymin").text) / height
+        x2 = float(bb.find("xmax").text) / width
+        y2 = float(bb.find("ymax").text) / height
+        dist = 0.0
+        if with_distance:
+            dn = obj.find("distance")
+            if dn is not None:
+                # meters / 255, clipped (cityscapes.py:160-166)
+                dist = min(1.0, max(0.0, float(dn.text) / 255.0))
+        rows.append([cid, x1, y1, x2, y2, dist, difficult])
+    return np.asarray(rows, np.float32) if rows else np.zeros((0, 7), np.float32)
+
+
+class PascalVoc(Imdb):
+    """VOCdevkit layout: {root}/VOC{year}/{JPEGImages,Annotations,ImageSets}."""
+
+    def __init__(self, image_set: str, year: str, root: str,
+                 classes: Sequence[str] = VOC_CLASSES, use_difficult: bool = False):
+        super().__init__(f"voc_{year}_{image_set}", classes)
+        self.root = os.path.join(root, f"VOC{year}")
+        self.image_set = image_set
+        self.use_difficult = use_difficult
+
+    def samples(self) -> List[Sample]:
+        lst = os.path.join(self.root, "ImageSets", "Main", self.image_set + ".txt")
+        with open(lst) as f:
+            ids = [line.strip().split()[0] for line in f if line.strip()]
+        out = []
+        for iid in ids:
+            xml = os.path.join(self.root, "Annotations", iid + ".xml")
+            img = os.path.join(self.root, "JPEGImages", iid + ".jpg")
+            rows = _parse_voc_xml(xml, self.classes, with_distance=False)
+            if not self.use_difficult and rows.size:
+                rows = rows[rows[:, 6] < 1]
+            out.append(Sample(img, SampleIndex.pad_label(rows[:, :6])))
+        return out
+
+
+class CityscapesDetSeg(Imdb):
+    """DSPNet Cityscapes layout: XML annotations with <distance>, trainId seg
+    PNGs. Expects {root}/{Annotations,JPEGImages,SegmentationClass,ImageSets}."""
+
+    def __init__(self, image_set: str, root: str,
+                 classes: Sequence[str] = CITYSCAPES_DET_CLASSES):
+        super().__init__(f"cityscapes_{image_set}", classes)
+        self.root = root
+        self.image_set = image_set
+
+    def samples(self) -> List[Sample]:
+        lst = os.path.join(self.root, "ImageSets", "Main", self.image_set + ".txt")
+        with open(lst) as f:
+            ids = [line.strip().split()[0] for line in f if line.strip()]
+        out = []
+        for iid in ids:
+            xml = os.path.join(self.root, "Annotations", iid + ".xml")
+            img = os.path.join(self.root, "JPEGImages", iid + ".jpg")
+            seg = os.path.join(
+                self.root, "SegmentationClass",
+                iid.replace("leftImg8bit", "gtFine_labelTrainIds") + ".png",
+            )
+            rows = (
+                _parse_voc_xml(xml, self.classes, with_distance=True)
+                if os.path.exists(xml)
+                else np.zeros((0, 7), np.float32)
+            )
+            out.append(Sample(img, SampleIndex.pad_label(rows[:, :6]),
+                              seg if os.path.exists(seg) else None))
+        return out
+
+
+class CocoDet(Imdb):
+    """COCO instances JSON (dataset/mscoco.py capability)."""
+
+    def __init__(self, annotation_file: str, image_dir: str):
+        with open(annotation_file) as f:
+            self.coco = json.load(f)
+        cats = sorted(self.coco["categories"], key=lambda c: c["id"])
+        super().__init__("coco", [c["name"] for c in cats])
+        self.catid_to_idx = {c["id"]: i for i, c in enumerate(cats)}
+        self.image_dir = image_dir
+
+    def samples(self) -> List[Sample]:
+        imgs = {im["id"]: im for im in self.coco["images"]}
+        per_image = {}
+        for ann in self.coco["annotations"]:
+            if ann.get("iscrowd", 0):
+                continue
+            im = imgs[ann["image_id"]]
+            x, y, w, h = ann["bbox"]
+            row = [
+                self.catid_to_idx[ann["category_id"]],
+                x / im["width"], y / im["height"],
+                (x + w) / im["width"], (y + h) / im["height"], 0.0,
+            ]
+            per_image.setdefault(ann["image_id"], []).append(row)
+        out = []
+        for iid, im in imgs.items():
+            rows = np.asarray(per_image.get(iid, []), np.float32)
+            if rows.size == 0:
+                rows = np.zeros((0, 6), np.float32)
+            out.append(Sample(os.path.join(self.image_dir, im["file_name"]),
+                              SampleIndex.pad_label(rows)))
+        return out
+
+
+class YoloFormat(Imdb):
+    """YOLO txt-per-image: rows `cls cx cy w h` normalized
+    (dataset/yolo_format.py capability)."""
+
+    def __init__(self, list_file: str, image_dir: str, label_dir: str,
+                 classes: Sequence[str], image_ext: str = ".jpg"):
+        super().__init__("yolo", classes)
+        self.list_file = list_file
+        self.image_dir = image_dir
+        self.label_dir = label_dir
+        self.image_ext = image_ext
+
+    def samples(self) -> List[Sample]:
+        with open(self.list_file) as f:
+            ids = [line.strip() for line in f if line.strip()]
+        out = []
+        for iid in ids:
+            rows = []
+            lp = os.path.join(self.label_dir, iid + ".txt")
+            if os.path.exists(lp):
+                with open(lp) as f:
+                    for line in f:
+                        p = line.split()
+                        if len(p) < 5:
+                            continue
+                        cid, cx, cy, w, h = float(p[0]), *map(float, p[1:5])
+                        rows.append([cid, cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2, 0.0])
+            rows = np.asarray(rows, np.float32) if rows else np.zeros((0, 6), np.float32)
+            out.append(Sample(os.path.join(self.image_dir, iid + self.image_ext),
+                              SampleIndex.pad_label(rows)))
+        return out
+
+
+class ConcatDB(Imdb):
+    """Concatenate imdbs (dataset/concat_db.py)."""
+
+    def __init__(self, *imdbs: Imdb):
+        assert imdbs
+        classes = imdbs[0].classes
+        for db in imdbs:
+            assert db.classes == classes, "class sets must match to concat"
+        super().__init__("+".join(db.name for db in imdbs), classes)
+        self.imdbs = imdbs
+
+    def samples(self) -> List[Sample]:
+        out = []
+        for db in self.imdbs:
+            out.extend(db.samples())
+        return out
+
+
+class TestDB(Imdb):
+    """Bare image list for inference (dataset/testdb.py)."""
+
+    def __init__(self, images: Sequence[str]):
+        super().__init__("test", [])
+        self.images = list(images)
+
+    def samples(self) -> List[Sample]:
+        empty = SampleIndex.pad_label(np.zeros((0, 6), np.float32))
+        return [Sample(p, empty.copy()) for p in self.images]
+
+
+def load_index(root: str, split: str) -> SampleIndex:
+    """Auto-detect the dataset layout under ``root`` and return the split."""
+    assert root, "--dataset-root (or --synthetic) required"
+    if os.path.exists(os.path.join(root, "ImageSets", "Main", split + ".txt")):
+        if os.path.isdir(os.path.join(root, "SegmentationClass")):
+            return CityscapesDetSeg(split, root).index()
+        return PascalVoc(split, "", root).index()
+    raise FileNotFoundError(f"no recognizable dataset at {root} (split {split})")

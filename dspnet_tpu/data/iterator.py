@@ -1,0 +1,152 @@
+"""Multitask batch iterator — TPU-native replacement for MultiTaskRecordIter.
+
+The reference iterates an MXNet .rec file + .lst sidecar
+(dataset/iterator.py:301-603); record files are an MXNet artifact, so this
+rebuild's storage contract is a plain **sample index**: a list of
+(image_path, label_matrix, seg_path) triples (see :class:`SampleIndex`),
+which the imdb family (`dspnet_tpu.data.imdb`) produces from VOC / Cityscapes
+/ COCO / YOLO sources. Batch semantics are preserved:
+
+* epoch-level deterministic shuffling + one augmentation-parameter row per
+  sample, numpy seed 233 (iterator.py:379-384, 417-424);
+* per batch: BGR decode -> augment/resize -> mean-sub RGB float (NHWC here,
+  the reference emits CHW), det label (B, 200, 6), seg label at 1/4
+  resolution with the (near-no-op) id LUT applied (iterator.py:550-603);
+* ``next()`` yields (batch dict, filenames) like the reference's
+  (DataBatch, fnames) pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from dspnet_tpu.data import augment as aug
+from dspnet_tpu.data.cs_labels import seg_label_lut
+
+MAX_OBJECTS = 200
+LABEL_WIDTH = 6
+
+
+@dataclasses.dataclass
+class Sample:
+    image_path: str
+    label: np.ndarray  # (MAX_OBJECTS, 6) normalized [cls,x1,y1,x2,y2,dist], -1 padded
+    seg_path: Optional[str] = None
+
+
+class SampleIndex:
+    """An ordered list of samples; the storage-neutral '.lst' equivalent."""
+
+    def __init__(self, samples: Sequence[Sample]):
+        self.samples = list(samples)
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i) -> Sample:
+        return self.samples[i]
+
+    @staticmethod
+    def pad_label(rows: np.ndarray) -> np.ndarray:
+        out = np.full((MAX_OBJECTS, LABEL_WIDTH), -1.0, np.float32)
+        n = min(len(rows), MAX_OBJECTS)
+        if n:
+            out[:n] = rows[:n]
+        return out
+
+
+class MultiTaskIterator:
+    """Batches of {'images', 'label_det', 'seg_label'} (+ filenames).
+
+    Args mirror the reference iterator: data_shape (H, W), mean_pixels RGB,
+    enable_aug selects the augmented vs plain-resize path, seed 233 default.
+    """
+
+    def __init__(
+        self,
+        index: SampleIndex,
+        batch_size: int,
+        data_shape: Tuple[int, int],
+        mean_pixels=aug.MEAN_PIXELS,
+        enable_aug: bool = True,
+        seed: int = 233,
+        apply_seg_lut: bool = True,
+        shuffle: bool = True,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.data_shape = tuple(data_shape)
+        self.mean_pixels = mean_pixels
+        self.enable_aug = enable_aug
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.lut = seg_label_lut() if apply_seg_lut else None
+        self.num_samples = len(index)
+        self.order = np.arange(self.num_samples)
+        if shuffle:
+            self.rng.shuffle(self.order)
+        self._resample_aug()
+        self.cursor = 0
+
+    def _resample_aug(self):
+        self.aug_params = aug.sample_aug_params(self.num_samples, self.data_shape, self.rng)
+
+    def reset(self):
+        if self.shuffle:
+            self.rng.shuffle(self.order)
+        self._resample_aug()
+        self.cursor = 0
+
+    def __iter__(self) -> Iterator:
+        self.reset()
+        while self.cursor + self.batch_size <= self.num_samples:
+            yield self.next_batch()[0]
+
+    def epoch(self) -> Iterator:
+        """Like __iter__ but yields (batch, fnames) pairs (reference next())."""
+        self.reset()
+        while self.cursor + self.batch_size <= self.num_samples:
+            yield self.next_batch()
+
+    def _load(self, sample: Sample):
+        img = cv2.imread(sample.image_path, cv2.IMREAD_COLOR)
+        assert img is not None, sample.image_path
+        seg = None
+        if sample.seg_path is not None:
+            seg = cv2.imread(sample.seg_path, cv2.IMREAD_UNCHANGED)
+            assert seg is not None, sample.seg_path
+        return img, sample.label.copy(), seg
+
+    def next_batch(self):
+        H, W = self.data_shape
+        bs = self.batch_size
+        images = np.zeros((bs, H, W, 3), np.float32)
+        labels = np.full((bs, MAX_OBJECTS, LABEL_WIDTH), -1.0, np.float32)
+        segs = np.zeros((bs, H // 4, W // 4), np.int32)
+        has_seg = False
+        fnames: List[str] = []
+        for b in range(bs):
+            sample = self.index[int(self.order[self.cursor])]
+            img, label, seg = self._load(sample)
+            if self.enable_aug:
+                img, label, seg = aug.augment_example(
+                    img, label, seg, self.aug_params[self.cursor], self.data_shape
+                )
+            else:
+                img, label, seg = aug.resize_example(img, label, seg, self.data_shape)
+            images[b] = aug.normalize_image(img, self.mean_pixels)
+            labels[b] = label
+            if seg is not None:
+                has_seg = True
+                segs[b] = aug.downsample_seg(seg.astype(np.uint8), self.lut)
+            fnames.append(sample.image_path)
+            self.cursor += 1
+        batch = {"images": images, "label_det": labels}
+        if has_seg:
+            batch["seg_label"] = segs
+        return batch, fnames

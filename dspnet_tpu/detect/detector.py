@@ -1,0 +1,223 @@
+"""Multitask inference API.
+
+Capability parity with the reference detector family
+(detect/multitask_detector.py, det_detector.py, seg_detector.py,
+detector.py): one class, task-driven. The reference re-binds an MXNet
+executor per call (multitask_detector.py:224); here the full
+preprocess->forward->decode->NMS->argmax path is ONE jitted program compiled
+once and reused (also the bench path).
+
+API mirrors the reference:
+  * ``detect(images)``       — batched: per-image det rows with id >= 0 +
+                               seg argmax map (multitask_detector.py:166-272)
+  * ``im_detect_single``     — single image file/array
+                               (multitask_detector.py:307-334)
+  * ``visualize_detection``  — cv2 overlay with per-class colors and the
+                               "NNm" distance text, nearest-first
+                               (multitask_detector.py:336-399)
+  * ``detect_and_visualize`` — image path(s) / video / webcam
+                               (multitask_detector.py:401-458)
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dspnet_tpu.data.augment import MEAN_PIXELS
+from dspnet_tpu.data.cs_labels import train_id_palette
+from dspnet_tpu.ops.detection import multibox_detection
+from dspnet_tpu.ops.nms import nms as cpu_nms
+
+
+class Detector:
+    def __init__(
+        self,
+        model,
+        variables,
+        anchors: np.ndarray,
+        data_shape: Tuple[int, int],
+        mean_pixels=MEAN_PIXELS,
+        classes: Optional[Sequence[str]] = None,
+        nms_thresh: float = 0.5,
+        force_suppress: bool = False,
+        nms_topk: int = 400,
+        score_threshold: float = 0.01,
+    ):
+        self.model = model
+        self.variables = variables
+        self.anchors = jnp.asarray(anchors, jnp.float32)
+        self.data_shape = tuple(data_shape)
+        self.mean_pixels = mean_pixels
+        self.classes = list(classes) if classes else None
+        self.nms_thresh = nms_thresh
+        self.force_suppress = force_suppress
+        self.nms_topk = nms_topk
+        self.score_threshold = score_threshold
+        self.palette = train_id_palette()
+        self._predict = jax.jit(partial(self._forward))
+
+    # ------------------------------------------------------------- core
+
+    def _forward(self, images):
+        out = self.model.apply(self.variables, images, train=False)
+        results = {}
+        if "cls_logits" in out:
+            cls_prob = jax.nn.softmax(out["cls_logits"], axis=-1)  # (B, A, C)
+            det = multibox_detection(
+                jnp.swapaxes(cls_prob, 1, 2),
+                out["loc_preds"],
+                self.anchors,
+                threshold=self.score_threshold,
+                nms_threshold=self.nms_thresh,
+                force_suppress=self.force_suppress,
+                nms_topk=self.nms_topk,
+            )
+            results["det"] = det
+        if "seg_logits" in out:
+            results["seg"] = jnp.argmax(out["seg_logits"], axis=-1)
+            results["seg_prob"] = jax.nn.softmax(out["seg_logits"], axis=-1)
+        return results
+
+    def transform(self, img_bgr: np.ndarray) -> np.ndarray:
+        """Resize + mean-sub RGB float (reference multitask_detector.py:65-76)."""
+        h, w = self.data_shape
+        img = cv2.resize(img_bgr, (w, h), interpolation=cv2.INTER_LINEAR)
+        return img[:, :, ::-1].astype(np.float32) - np.asarray(self.mean_pixels, np.float32)
+
+    def predict(self, images: np.ndarray):
+        """images (B, H, W, 3) preprocessed float -> jitted forward results."""
+        return self._predict(jnp.asarray(images))
+
+    def detect(self, images: np.ndarray, det_threshold: float = 0.0):
+        """Returns (list of per-image (n, 7) arrays with id >= 0 and
+        score >= det_threshold, seg maps (B, H/4, W/4) or None)."""
+        res = self.predict(images)
+        dets_out: List[np.ndarray] = []
+        if "det" in res:
+            det = np.asarray(res["det"])
+            for b in range(det.shape[0]):
+                rows = det[b]
+                keep = (rows[:, 0] >= 0) & (rows[:, 1] >= det_threshold)
+                dets_out.append(rows[keep])
+        seg = np.asarray(res["seg"]) if "seg" in res else None
+        return dets_out, seg
+
+    def im_detect_single(self, image, det_threshold: float = 0.0):
+        """image: path or BGR array. Returns ((n, 7) dets, seg map or None)."""
+        if isinstance(image, str):
+            image = cv2.imread(image, cv2.IMREAD_COLOR)
+            assert image is not None
+        batch = self.transform(image)[None]
+        dets, seg = self.detect(batch, det_threshold)
+        return dets[0], (seg[0] if seg is not None else None)
+
+    # ---------------------------------------------------------- visualize
+
+    def visualize_detection(
+        self,
+        img_bgr: np.ndarray,
+        dets: np.ndarray,
+        seg: Optional[np.ndarray] = None,
+        thresh: float = 0.6,
+        seg_alpha: float = 0.5,
+    ) -> np.ndarray:
+        """Draw boxes (class color, 'NNm' distance text, nearest drawn last)
+        + optional seg overlay. Returns BGR image."""
+        img = img_bgr.copy()
+        height, width = img.shape[:2]
+        if seg is not None:
+            seg_rgb = self.palette[np.clip(seg, 0, 255)]
+            seg_bgr = cv2.resize(
+                seg_rgb[:, :, ::-1], (width, height), interpolation=cv2.INTER_NEAREST
+            )
+            img = cv2.addWeighted(img, 1.0 - seg_alpha, seg_bgr, seg_alpha, 0)
+        random.seed(1)  # stable per-class colors like the reference (:356)
+        colors = {}
+        rows = [r for r in np.asarray(dets) if r[0] >= 0 and r[1] >= thresh]
+        rows.sort(key=lambda r: -r[6])  # farthest first, nearest on top (:365)
+        for r in rows:
+            cid = int(r[0])
+            if cid not in colors:
+                colors[cid] = (random.randint(0, 255), random.randint(0, 255), random.randint(0, 255))
+            xmin = int(r[2] * width)
+            ymin = int(r[3] * height)
+            xmax = int(r[4] * width)
+            ymax = int(r[5] * height)
+            cv2.rectangle(img, (xmin, ymin), (xmax, ymax), colors[cid], 2)
+            cname = self.classes[cid] if self.classes else str(cid)
+            dist_m = r[6] * 255.0
+            cv2.putText(
+                img,
+                f"{cname} {dist_m:.0f}m",
+                (xmin, max(12, ymin - 4)),
+                cv2.FONT_HERSHEY_SIMPLEX,
+                0.5,
+                colors[cid],
+                1,
+            )
+        return img
+
+    def detect_and_visualize(
+        self,
+        inputs,
+        out_dir: str = ".",
+        thresh: float = 0.6,
+        video_nms: float = 0.95,
+        show: bool = False,
+    ) -> List[str]:
+        """Image path(s) or a video path ('.mp4'/'.avi'/int webcam id).
+
+        Video frames get the reference's extra host-side NMS pass at 0.95
+        (multitask_detector.py:450). Returns written file paths.
+        """
+        written = []
+        if isinstance(inputs, (str, int)) and (
+            isinstance(inputs, int) or inputs.endswith((".mp4", ".avi"))
+        ):
+            cap = cv2.VideoCapture(inputs)
+            writer = None
+            idx = 0
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                dets, seg = self.im_detect_single(frame)
+                if dets.shape[0] > 1:
+                    h, w = self.data_shape
+                    scaled = np.hstack(
+                        [dets[:, 2:6] * np.array([w, h, w, h]), dets[:, 1:2]]
+                    ).astype(np.float32)
+                    keep = cpu_nms(scaled, video_nms)
+                    dets = dets[keep]
+                vis = self.visualize_detection(frame, dets, seg, thresh)
+                if writer is None:
+                    path = os.path.join(out_dir, "detection_out.mp4")
+                    writer = cv2.VideoWriter(
+                        path, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                        (vis.shape[1], vis.shape[0]),
+                    )
+                    written.append(path)
+                writer.write(vis)
+                idx += 1
+            if writer is not None:
+                writer.release()
+            cap.release()
+            return written
+        paths = [inputs] if isinstance(inputs, str) else list(inputs)
+        for p in paths:
+            img = cv2.imread(p, cv2.IMREAD_COLOR)
+            assert img is not None, p
+            dets, seg = self.im_detect_single(img)
+            vis = self.visualize_detection(img, dets, seg, thresh)
+            out = os.path.join(out_dir, os.path.splitext(os.path.basename(p))[0] + "_out.jpg")
+            cv2.imwrite(out, vis)
+            written.append(out)
+        return written

@@ -219,11 +219,14 @@ class Deconv2x(nn.Module):
                 k[:, :, i, i] = filt
             return jnp.asarray(k, dtype)
 
+        # lax.conv_transpose padding applies to the dilated input; MXNet's
+        # deconv pad p corresponds to (k - 1 - p) = 2 per side for k=4, p=1,
+        # giving exactly 2x output size.
         return nn.ConvTranspose(
             features=self.features,
             kernel_size=(4, 4),
             strides=(2, 2),
-            padding=((1, 1), (1, 1)),
+            padding=((2, 2), (2, 2)),
             use_bias=False,
             kernel_init=init,
         )(x)

@@ -1,0 +1,69 @@
+"""Pyramid-pooling semantic-segmentation head.
+
+Contract: reference symbol/multitask_symbol_builder.py:541-589 —
+* res3 / res4 taps are gradient-blocked, then 1x1-reduce -> BN -> 3x3 -> BN
+  (128 / 256 channels);
+* the top backbone feature goes through BatchNorm *directly* (the reference
+  builds a ``res5_reduced`` 1x1 conv but then feeds the raw ``conv_feat``
+  into ``res5_reduced_bn`` — builder.py:556-558 — so the conv is dead code;
+  we reproduce the live path and drop the dead conv);
+* three avg-pool branches (k1/s1 identity, k2/s2, k4/s4) of the BN'd top
+  feature, each 1x1-conv (128/256/512) + BN;
+* all six streams bilinear-resampled to (H/8, W/8) and concatenated
+  (the reference hardcodes the 512x1024 grid (64, 128),
+  builder.py:574-575 — we generalize to input/8 so other resolutions work);
+* 3x3 conv -> seg_classes -> BN -> 4x4/2 transposed conv (bilinear init) to
+  (H/4, W/4, seg_classes) logits.
+"""
+
+from __future__ import annotations
+
+import jax
+from flax import linen as nn
+
+import jax.numpy as jnp
+
+from dspnet_tpu.models.layers import (
+    BatchNorm,
+    Deconv2x,
+    avg_pool,
+    conv,
+    resize_bilinear_align_corners,
+)
+
+
+class SegHead(nn.Module):
+    seg_classes: int = 19
+
+    @nn.compact
+    def __call__(self, res3, res4, conv_feat, grid_hw, train: bool = False):
+        res3 = jax.lax.stop_gradient(res3)  # BlockGrad (builder.py:542,549)
+        r3 = conv(res3, 128, 1, 1, 0, use_bias=False, name="res3_reduced")
+        r3 = BatchNorm(fix_gamma=True, name="res3_reduced_bn")(r3, train)
+        r3 = conv(r3, 128, 3, 1, 1, use_bias=False, name="res3_reduced2")
+        r3 = BatchNorm(fix_gamma=True, name="res3_reduced2_bn")(r3, train)
+
+        res4 = jax.lax.stop_gradient(res4)
+        r4 = conv(res4, 256, 1, 1, 0, use_bias=False, name="res4_reduced")
+        r4 = BatchNorm(fix_gamma=True, name="res4_reduced_bn")(r4, train)
+        r4 = conv(r4, 256, 3, 1, 1, use_bias=False, name="res4_reduced2")
+        r4 = BatchNorm(fix_gamma=True, name="res4_reduced2_bn")(r4, train)
+
+        r5 = BatchNorm(fix_gamma=True, name="res5_reduced_bn")(conv_feat, train)
+
+        p1 = avg_pool(r5, 1, 1)
+        p2 = avg_pool(r5, 2, 2)
+        p4 = avg_pool(r5, 4, 4)
+        s4 = conv(p4, 128, 1, 1, 0, use_bias=False, name="score2_pool4")
+        s4 = BatchNorm(fix_gamma=True, name="score2_pool4_bn")(s4, train)
+        s2 = conv(p2, 256, 1, 1, 0, use_bias=False, name="score2_pool2")
+        s2 = BatchNorm(fix_gamma=True, name="score2_pool2_bn")(s2, train)
+        s1 = conv(p1, 512, 1, 1, 0, use_bias=False, name="score2_pool1")
+        s1 = BatchNorm(fix_gamma=True, name="score2_pool1_bn")(s1, train)
+
+        streams = [s4, s2, s1, r5, r4, r3]  # concat order: builder.py:582
+        resampled = [resize_bilinear_align_corners(s, grid_hw) for s in streams]
+        x = jnp.concatenate(resampled, axis=-1)
+        x = conv(x, self.seg_classes, 3, 1, 1, use_bias=False, name="score3_conv")
+        x = BatchNorm(fix_gamma=True, name="score3_conv_bn")(x, train)
+        return Deconv2x(self.seg_classes, name="score4_conv")(x)

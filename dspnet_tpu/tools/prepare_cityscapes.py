@@ -1,0 +1,161 @@
+"""Cityscapes preparation pipeline (offline, CPU).
+
+Capability parity with the reference prep chain (SURVEY.md section 3.4):
+  gtFine polygons.json --cs_json_to_xml--> half-resolution PASCAL-style XML
+  (reference dataset/cs_json2xml.py:18-91, tools/convert_cityscapes.sh)
+  --inject_distances--> <distance> tag per object from the median stereo
+  disparity inside the box: dist = 2200*75/median, >1000 -> 200 m
+  (reference data/cityscapes/disparity2distance.py:42-82)
+  --save_imglist--> .lst (reference tools/prepare_dataset.py:118-140);
+  the .rec packing step (tools/im2rec.py) has no TPU-side equivalent — the
+  iterator reads images directly (see dspnet_tpu.data.iterator docstring).
+
+Also includes trainId label-image generation from the polygon JSON
+(capability of the vendored createTrainIdLabelImgs.py/json2labelImg.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import math
+import os
+import xml.etree.ElementTree as ET
+from xml.dom import minidom
+
+import cv2
+import numpy as np
+
+from dspnet_tpu.data.cs_labels import name2label
+
+DISPARITY_SCALE = 2200.0 * 75.0
+
+
+def json_to_xml(json_path: str, xml_path: str | None = None, scale: float = 0.5) -> str:
+    """Polygon JSON -> PASCAL-style XML with polygon-extent boxes, at
+    ``scale`` resolution (the reference halves, cs_json2xml.py:38,67)."""
+    with open(json_path) as f:
+        parsed = json.load(f)
+    if xml_path is None:
+        xml_path = json_path.replace(".json", ".xml")
+
+    top = ET.Element("annotation")
+    ET.SubElement(top, "filename").text = os.path.basename(
+        json_path.replace("json", "jpg")
+    ).replace("gtFine_polygons", "leftImg8bit")
+    ET.SubElement(top, "folder").text = "cityscapes"
+    size = ET.SubElement(top, "size")
+    h = int(round(parsed["imgHeight"] * scale))
+    w = int(round(parsed["imgWidth"] * scale))
+    ET.SubElement(size, "height").text = str(h)
+    ET.SubElement(size, "width").text = str(w)
+    ET.SubElement(size, "depth").text = "3"
+
+    for idval, label in enumerate(parsed["objects"]):
+        obj = ET.SubElement(top, "object")
+        ET.SubElement(obj, "name").text = label["label"]
+        ET.SubElement(obj, "difficult").text = "0"
+        ET.SubElement(obj, "id").text = str(idval)
+        xs = [int(round(p[0] * scale)) for p in label["polygon"]]
+        ys = [int(round(p[1] * scale)) for p in label["polygon"]]
+        bnd = ET.SubElement(obj, "bndbox")
+        ET.SubElement(bnd, "xmin").text = str(min(xs))
+        ET.SubElement(bnd, "xmax").text = str(max(xs))
+        ET.SubElement(bnd, "ymin").text = str(min(ys))
+        ET.SubElement(bnd, "ymax").text = str(max(ys))
+
+    with open(xml_path, "w") as f:
+        f.write(minidom.parseString(ET.tostring(top, "utf-8")).toprettyxml())
+    return xml_path
+
+
+def disparity_to_distance(disparity_roi: np.ndarray) -> float:
+    """Median-disparity -> meters (disparity2distance.py:62-68)."""
+    roi = np.sort(disparity_roi.astype(np.float32).reshape(-1))
+    if roi.shape[0] == 0:
+        return 200.0
+    dist = DISPARITY_SCALE / (roi[int(math.ceil(roi.shape[0] / 2))] + 1e-3)
+    return 200.0 if dist > 1000 else float(dist)
+
+
+def inject_distances(xml_path: str, disparity_path: str, class_names) -> None:
+    """Add/replace <distance> on each named object (disparity2distance.py:55-82)."""
+    tree = ET.parse(xml_path)
+    root = tree.getroot()
+    disparity = cv2.imread(disparity_path, cv2.IMREAD_UNCHANGED)
+    assert disparity is not None, disparity_path
+    for obj in root.findall("object"):
+        if obj.find("name").text not in class_names:
+            continue
+        bnd = obj.find("bndbox")
+        xmin = max(0, int(bnd.find("xmin").text))
+        xmax = int(bnd.find("xmax").text)
+        ymin = max(0, int(bnd.find("ymin").text))
+        ymax = int(bnd.find("ymax").text)
+        if xmin == xmax:
+            xmax = xmin + 1
+        dist = disparity_to_distance(disparity[ymin:ymax, xmin:xmax])
+        for tag in obj.findall("distance"):
+            obj.remove(tag)
+        ET.SubElement(obj, "distance").text = str(int(round(dist)))
+    tree.write(xml_path)
+
+
+def polygons_to_trainid_png(json_path: str, out_path: str) -> str:
+    """Rasterize polygon JSON to a trainId label image (capability of the
+    vendored createTrainIdLabelImgs/json2labelImg scripts)."""
+    with open(json_path) as f:
+        parsed = json.load(f)
+    h, w = parsed["imgHeight"], parsed["imgWidth"]
+    out = np.full((h, w), 255, np.uint8)  # unlabeled -> ignore
+    for obj in parsed["objects"]:
+        if obj.get("deleted", 0):
+            continue
+        name = obj["label"]
+        if name not in name2label and name.endswith("group"):
+            name = name[: -len("group")]
+        if name not in name2label:
+            continue
+        tid = name2label[name].trainId
+        val = 255 if tid < 0 or tid == 255 else tid
+        pts = np.asarray(obj["polygon"], np.int32).reshape(-1, 1, 2)
+        cv2.fillPoly(out, [pts], int(val))
+    cv2.imwrite(out_path, out)
+    return out_path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Prepare Cityscapes for dspnet_tpu.")
+    p.add_argument("--gtfine", required=True, help="gtFine root (with */*.json)")
+    p.add_argument("--disparity", default="", help="disparity root (optional)")
+    p.add_argument("--out", required=True, help="output dataset root")
+    p.add_argument("--split", default="train")
+    p.add_argument("--classes", default="person,rider,car,truck,bus,train,motorcycle,bicycle")
+    args = p.parse_args(argv)
+    classes = args.classes.split(",")
+    os.makedirs(os.path.join(args.out, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "SegmentationClass"), exist_ok=True)
+    os.makedirs(os.path.join(args.out, "ImageSets", "Main"), exist_ok=True)
+    ids = []
+    for jp in sorted(glob.glob(os.path.join(args.gtfine, args.split, "*", "*_gtFine_polygons.json"))):
+        stem = os.path.basename(jp).replace("_gtFine_polygons.json", "")
+        xml_path = os.path.join(args.out, "Annotations", stem + "_leftImg8bit.xml")
+        json_to_xml(jp, xml_path)
+        polygons_to_trainid_png(
+            jp, os.path.join(args.out, "SegmentationClass", stem + "_gtFine_labelTrainIds.png")
+        )
+        if args.disparity:
+            dp = os.path.join(
+                args.disparity, args.split, stem.split("_")[0], stem + "_disparity.png"
+            )
+            if os.path.exists(dp):
+                inject_distances(xml_path, dp, classes)
+        ids.append(stem + "_leftImg8bit")
+    with open(os.path.join(args.out, "ImageSets", "Main", args.split + ".txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    print(f"prepared {len(ids)} annotations under {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""MultiTaskSolver — the jitted training/eval step and loop.
+
+TPU redesign of the reference's hand-rolled solver (multi_solver.py:182-521).
+The reference re-binds a fresh executor every iteration
+(multi_solver.py:250-251, a known perf sink) and updates params one array at
+a time on the Python side; here the whole step — forward, target assignment
+(on device), losses, backward, SGD update, BN stat update — is ONE jitted
+XLA program, compiled once, optionally partitioned over a device mesh for
+data parallelism (params replicated, batch sharded; XLA inserts the psum
+gradient reductions over ICI).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dspnet_tpu.ops import target as target_ops
+from dspnet_tpu.train import losses as loss_mod
+from dspnet_tpu.train.optim import mxnet_sgd
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def freeze_mask(params, pattern: Optional[str]):
+    """Boolean pytree: True where the param trains. ``pattern`` is a regex on
+    '/'-joined param paths (reference multi_train.py:327-331 freezes args
+    whose name matches)."""
+    if not pattern:
+        return jax.tree.map(lambda _: True, params)
+    rx = re.compile(pattern)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def path_str(path):
+        return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+    trainable = {path_str(p): not rx.search(path_str(p)) for p, _ in flat}
+    leaves = [trainable[path_str(p)] for p, _ in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+class MultiTaskSolver:
+    """Owns model, anchors, optimizer, and the compiled train/eval steps.
+
+    Args:
+      model: a DSPNet/SSDNet Flax module.
+      anchors: (A, 4) numpy anchor table (trace-time constant).
+      learning_rate: float or optax schedule.
+      momentum / weight_decay / batch_size: MXNet SGD conventions
+        (multi_solver.py:221-222).
+      mesh: optional jax.sharding.Mesh for data parallelism.
+      freeze_pattern: regex of param paths to exclude from updates.
+      seg_grad_scale / seg_normalize: see train.losses.
+    """
+
+    def __init__(
+        self,
+        model,
+        anchors: np.ndarray,
+        learning_rate=1e-3,
+        momentum: float = 0.9,
+        weight_decay: float = 5e-4,
+        batch_size: int = 1,
+        mesh=None,
+        freeze_pattern: Optional[str] = None,
+        seg_grad_scale: float = 4.0,
+        seg_normalize: str = "null",
+        overlap_threshold: float = 0.5,
+        negative_mining_ratio: float = 3.0,
+        negative_mining_thresh: float = 0.5,
+    ):
+        self.model = model
+        self.anchors = jnp.asarray(anchors, jnp.float32)
+        self.mesh = mesh
+        self.freeze_pattern = freeze_pattern
+        self.seg_grad_scale = seg_grad_scale
+        self.seg_normalize = seg_normalize
+        self.overlap_threshold = overlap_threshold
+        self.negative_mining_ratio = negative_mining_ratio
+        self.negative_mining_thresh = negative_mining_thresh
+        self.tx = mxnet_sgd(
+            learning_rate, momentum, weight_decay, rescale_grad=1.0 / batch_size
+        )
+        self._train_step = None
+        self._eval_step = None
+
+    # ---------------------------------------------------------------- init
+
+    def init_state(self, rng, sample_images) -> TrainState:
+        # jit the init: un-jitted flax init dispatches every op eagerly, which
+        # is pathological over a remote-TPU tunnel (hundreds of tiny programs)
+        variables = jax.jit(partial(self.model.init, train=True))(rng, sample_images)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        state = TrainState(
+            step=jnp.zeros([], jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            state = jax.device_put(state, rep)
+        return state
+
+    # ---------------------------------------------------------- step builder
+
+    def _loss_fn(self, params, batch_stats, batch, train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        ret = self.model.apply(variables, batch["images"], train=train, mutable=mutable)
+        outputs, new_stats = (ret if mutable else (ret, {}))
+        if mutable:
+            new_stats = new_stats.get("batch_stats", {})
+
+        loc_t = loc_m = cls_t = None
+        if "cls_logits" in outputs and "label_det" in batch:
+            # target assignment consumes (B, C, A) logits like the reference op
+            cls_preds_ca = jnp.swapaxes(outputs["cls_logits"], 1, 2)
+            loc_t, loc_m, cls_t = target_ops.multibox_target(
+                self.anchors,
+                batch["label_det"],
+                cls_preds_ca,
+                overlap_threshold=self.overlap_threshold,
+                negative_mining_ratio=self.negative_mining_ratio,
+                negative_mining_thresh=self.negative_mining_thresh,
+            )
+            loc_t = jax.lax.stop_gradient(loc_t)
+            loc_m = jax.lax.stop_gradient(loc_m)
+            cls_t = jax.lax.stop_gradient(cls_t)
+
+        total, metrics = loss_mod.multitask_loss(
+            outputs,
+            loc_t,
+            loc_m,
+            cls_t,
+            batch.get("seg_label"),
+            seg_grad_scale=self.seg_grad_scale,
+            seg_normalize=self.seg_normalize,
+        )
+        return total, (metrics, new_stats)
+
+    def _build_train_step(self):
+        tx = self.tx
+        freeze_pattern = self.freeze_pattern
+
+        def step(state: TrainState, batch: Dict):
+            grad_fn = jax.value_and_grad(
+                lambda p: self._loss_fn(p, state.batch_stats, batch, train=True),
+                has_aux=True,
+            )
+            (_, (metrics, new_stats)), grads = grad_fn(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            if freeze_pattern:
+                mask = freeze_mask(state.params, freeze_pattern)
+                updates = jax.tree.map(
+                    lambda u, m: u if m else jnp.zeros_like(u), updates, mask
+                )
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_stats if new_stats else state.batch_stats,
+                opt_state=new_opt,
+            )
+            return new_state, metrics
+
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            dat = NamedSharding(self.mesh, P("data"))
+            # pytree-prefix shardings: state replicated, batch sharded on axis 0
+            return jax.jit(
+                step,
+                in_shardings=(rep, dat),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def step(state: TrainState, batch: Dict):
+            _, (metrics, _) = self._loss_fn(state.params, state.batch_stats, batch, train=False)
+            return metrics
+
+        return jax.jit(step)
+
+    # ---------------------------------------------------------------- API
+
+    def train_step(self, state: TrainState, batch: Dict):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step(state, batch)
+
+    def eval_step(self, state: TrainState, batch: Dict):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step(state, batch)
+
+    def fit(
+        self,
+        state: TrainState,
+        train_iter,
+        num_epochs: int = 1,
+        eval_iter=None,
+        log_fn=print,
+        epoch_end_callback=None,
+        log_every: int = 20,
+    ) -> TrainState:
+        """Reference-style fit loop (multi_solver.py:182-353): per-batch train
+        step, periodic metric logging, per-epoch checkpoint callback."""
+        for epoch in range(num_epochs):
+            agg: Dict[str, float] = {}
+            n = 0
+            for batch in train_iter:
+                if self.mesh is not None:
+                    from dspnet_tpu.parallel.mesh import shard_batch
+
+                    batch = shard_batch(self.mesh, batch)
+                state, metrics = self.train_step(state, batch)
+                n += 1
+                if n % log_every == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    log_fn(f"epoch {epoch} batch {n}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                agg = {k: agg.get(k, 0.0) + float(v) for k, v in metrics.items()}
+            if n:
+                log_fn(f"epoch {epoch} done: " + ", ".join(f"{k}={v / n:.4f}" for k, v in agg.items()))
+            if epoch_end_callback is not None:
+                epoch_end_callback(epoch, state)
+            # (MultiTaskIterator reshuffles + resamples aug params in its own
+            # __iter__; no explicit reset here or epochs would double-shuffle)
+        return state

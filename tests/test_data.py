@@ -1,0 +1,159 @@
+"""Data pipeline tests: augmentation semantics, iterator contract, imdb."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dspnet_tpu.data import augment as aug
+from dspnet_tpu.data import synthetic
+from dspnet_tpu.data.cs_labels import SEG_CLASSES, seg_label_lut
+from dspnet_tpu.data.imdb import CityscapesDetSeg, ConcatDB, TestDB
+from dspnet_tpu.data.iterator import MAX_OBJECTS, MultiTaskIterator, SampleIndex
+
+
+def test_seg_classes_table():
+    assert len(SEG_CLASSES) == 19
+    assert SEG_CLASSES[0] == "road" and SEG_CLASSES[-1] == "bicycle"
+    lut = seg_label_lut()
+    # near-identity on 0..33 (the reference quirk, iterator.py:357-363)
+    assert all(lut[i] == i for i in range(34))
+    assert lut[200] == 255
+
+
+def test_aug_param_table_deterministic():
+    rng1 = np.random.RandomState(233)
+    rng2 = np.random.RandomState(233)
+    p1 = aug.sample_aug_params(100, (512, 1024), rng1)
+    p2 = aug.sample_aug_params(100, (512, 1024), rng2)
+    np.testing.assert_array_equal(p1, p2)
+    # ranges per iterator.py:352-355
+    assert p1[:, 2].min() >= 0.5 and p1[:, 2].max() <= 2.0
+    assert np.all(np.abs(np.degrees(p1[:, 1])) <= 5.0)
+    assert np.all((p1[:, 3] >= 0.8 * p1[:, 2] - 1e-9) & (p1[:, 3] <= 1.2 * p1[:, 2] + 1e-9))
+
+
+def test_augment_identity_params_keeps_boxes():
+    H, W = 64, 128
+    img = np.zeros((H, W, 3), np.uint8)
+    seg = np.zeros((H, W), np.uint8)
+    label = np.full((8, 6), -1.0, np.float32)
+    label[0] = [2.0, 0.25, 0.25, 0.75, 0.75, 0.4]
+    params = np.array([0.0, 0.0, 1.0, 1.0, 0.0, 0.0])  # identity
+    img2, label2, seg2 = aug.augment_example(img, label, seg, params, (H, W))
+    np.testing.assert_allclose(label2[0], label[0], atol=1e-6)
+    assert img2.shape == (H, W, 3) and seg2.shape == (H, W)
+
+
+def test_augment_flip_mirrors_boxes():
+    H, W = 64, 128
+    img = np.zeros((H, W, 3), np.uint8)
+    seg = np.zeros((H, W), np.uint8)
+    label = np.full((8, 6), -1.0, np.float32)
+    label[0] = [1.0, 0.1, 0.2, 0.4, 0.8, 0.5]
+    params = np.array([1.0, 0.0, 1.0, 1.0, 0.0, 0.0])  # flip only
+    _, label2, _ = aug.augment_example(img, label, seg, params, (H, W))
+    np.testing.assert_allclose(label2[0, 1], 1 - 0.4, atol=1e-6)  # new xmin
+    np.testing.assert_allclose(label2[0, 3], 1 - 0.1, atol=1e-6)  # new xmax
+    np.testing.assert_allclose(label2[0, [2, 4]], [0.2, 0.8], atol=1e-6)
+
+
+def test_augment_scale_rescales_distance():
+    H, W = 64, 128
+    img = np.zeros((H, W, 3), np.uint8)
+    seg = np.zeros((H, W), np.uint8)
+    label = np.full((8, 6), -1.0, np.float32)
+    label[0] = [1.0, 0.2, 0.2, 0.8, 0.8, 0.5]
+    params = np.array([0.0, 0.0, 2.0, 2.0, 0.0, 0.0])  # 2x zoom
+    _, label2, _ = aug.augment_example(img, label, seg, params, (H, W))
+    # dist / sqrt(sx*sy) = 0.5 / 2 (iterator.py:519)
+    np.testing.assert_allclose(label2[0, 5], 0.25, atol=1e-6)
+
+
+def test_small_box_filtered_out():
+    H, W = 64, 128
+    img = np.zeros((H, W, 3), np.uint8)
+    seg = np.zeros((H, W), np.uint8)
+    label = np.full((8, 6), -1.0, np.float32)
+    label[0] = [1.0, 0.5, 0.5, 0.505, 0.505, 0.5]  # ~0.4 px^2 area
+    params = np.array([0.0, 0.0, 1.0, 1.0, 0.0, 0.0])
+    _, label2, _ = aug.augment_example(img, label, seg, params, (H, W))
+    assert np.all(label2 == -1.0)
+
+
+def test_iterator_batches(tmp_path, rng):
+    index = synthetic.build_dataset(str(tmp_path), num_samples=4, hw=(64, 128))
+    it = MultiTaskIterator(index, batch_size=2, data_shape=(64, 128))
+    batch, fnames = it.next_batch()
+    assert batch["images"].shape == (2, 64, 128, 3)
+    assert batch["label_det"].shape == (2, MAX_OBJECTS, 6)
+    assert batch["seg_label"].shape == (2, 16, 32)
+    assert len(fnames) == 2
+    # seg labels restricted to valid ids / ignore
+    u = np.unique(batch["seg_label"])
+    assert set(u.tolist()) <= set(range(19)) | {255}
+    # determinism: same seed -> same first batch
+    it2 = MultiTaskIterator(index, batch_size=2, data_shape=(64, 128))
+    b2, _ = it2.next_batch()
+    np.testing.assert_array_equal(batch["images"], b2["images"])
+
+
+def test_iterator_eval_path_no_aug(tmp_path):
+    index = synthetic.build_dataset(str(tmp_path), num_samples=2, hw=(64, 128))
+    it = MultiTaskIterator(index, 1, (64, 128), enable_aug=False, shuffle=False)
+    batch, fnames = it.next_batch()
+    lbl = batch["label_det"][0]
+    assert np.any(lbl[:, 0] >= 0)  # objects survive the resize path
+
+
+def test_imdb_cityscapes_and_concat(tmp_path):
+    # build a dataset in the CityscapesDetSeg layout via the prep tool format
+    from dspnet_tpu.tools.prepare_cityscapes import json_to_xml, polygons_to_trainid_png
+    import json
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "Annotations"))
+    os.makedirs(os.path.join(root, "JPEGImages"))
+    os.makedirs(os.path.join(root, "SegmentationClass"))
+    os.makedirs(os.path.join(root, "ImageSets", "Main"))
+    poly = {
+        "imgHeight": 128,
+        "imgWidth": 256,
+        "objects": [
+            {"label": "car", "polygon": [[20, 40], [120, 40], [120, 100], [20, 100]]},
+            {"label": "sky", "polygon": [[0, 0], [255, 0], [255, 30], [0, 30]]},
+        ],
+    }
+    jp = os.path.join(root, "x_gtFine_polygons.json")
+    json.dump(poly, open(jp, "w"))
+    json_to_xml(jp, os.path.join(root, "Annotations", "x_leftImg8bit.xml"), scale=0.5)
+    polygons_to_trainid_png(
+        jp, os.path.join(root, "SegmentationClass", "x_gtFine_labelTrainIds.png")
+    )
+    import cv2
+
+    cv2.imwrite(os.path.join(root, "JPEGImages", "x_leftImg8bit.jpg"),
+                np.zeros((64, 128, 3), np.uint8))
+    with open(os.path.join(root, "ImageSets", "Main", "train.txt"), "w") as f:
+        f.write("x_leftImg8bit\n")
+
+    db = CityscapesDetSeg("train", root)
+    idx = db.index()
+    assert len(idx) == 1
+    s = idx[0]
+    rows = s.label[s.label[:, 0] >= 0]
+    assert rows.shape[0] == 1  # only 'car' is a det class
+    # half-res xml: car box (10..60, 20..50) on a 64x128 image
+    np.testing.assert_allclose(rows[0, 1:5], [10 / 128, 20 / 64, 60 / 128, 50 / 64], atol=1e-6)
+
+    cdb = ConcatDB(db, db)
+    assert len(cdb.index()) == 2
+
+    tdb = TestDB([s.image_path])
+    assert len(tdb.index()) == 1
+
+    # lst export round-trip format
+    lst = os.path.join(root, "out.lst")
+    db.save_imglist(lst)
+    line = open(lst).read().strip().split("\t")
+    assert line[1] == "2" and line[-1] == s.image_path

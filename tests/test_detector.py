@@ -1,0 +1,62 @@
+"""End-to-end detector / eval-pipeline tests (CPU, small shapes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dspnet_tpu.api import create_model, parse_network_name
+from dspnet_tpu.data import synthetic
+from dspnet_tpu.data.cs_labels import DET_CLASSES
+from dspnet_tpu.data.iterator import MultiTaskIterator
+from dspnet_tpu.detect.detector import Detector
+
+
+def test_parse_network_name():
+    assert parse_network_name("resnet-50_multi") == ("resnet-50", "multi")
+    assert parse_network_name("resnet-18_det") == ("resnet-18", "det")
+    assert parse_network_name("resnet-50_seg") == ("resnet-50", "seg")
+    assert parse_network_name("vgg16_reduced") == ("vgg16_reduced", "ssd")
+
+
+@pytest.fixture(scope="module")
+def detector():
+    H, W = 128, 256
+    bundle = create_model("resnet-18_multi", (H, W), num_classes=8)
+    variables = bundle.model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=False
+    )
+    return Detector(
+        bundle.model, variables, bundle.anchors, (H, W), classes=list(DET_CLASSES),
+        nms_thresh=0.45,
+    )
+
+
+def test_detector_end_to_end(tmp_path_factory, detector):
+    root = str(tmp_path_factory.mktemp("synth"))
+    index = synthetic.build_dataset(root, num_samples=2, hw=(128, 256))
+    it = MultiTaskIterator(index, 2, (128, 256), enable_aug=False, shuffle=False)
+    batch, fnames = it.next_batch()
+    dets, seg = detector.detect(batch["images"], det_threshold=0.0)
+    assert len(dets) == 2
+    for d in dets:
+        assert d.ndim == 2 and d.shape[1] == 7
+        assert np.all(d[:, 0] >= 0)
+    assert seg.shape == (2, 32, 64)
+
+
+def test_detector_single_and_visualize(tmp_path, detector):
+    root = str(tmp_path)
+    index = synthetic.build_dataset(root, num_samples=1, hw=(128, 256))
+    img_path = index[0].image_path
+    dets, seg = detector.im_detect_single(img_path)
+    import cv2
+
+    img = cv2.imread(img_path)
+    vis = detector.visualize_detection(img, dets, seg, thresh=0.0)
+    assert vis.shape == img.shape
+    out = detector.detect_and_visualize(img_path, str(tmp_path))
+    assert os.path.exists(out[0])

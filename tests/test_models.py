@@ -1,0 +1,77 @@
+"""Model construction / golden-shape tests.
+
+The reference dumps full per-layer shape tables for resnet-50 at 320x640 and
+512x1024 (utils.py:35-37); the anchor totals (4822 / 12264) and output shapes
+there are our golden references. The analytic feature-shape math in the
+factory is cross-checked against real forward passes at small resolutions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dspnet_tpu.models import factory
+from dspnet_tpu.models.dspnet import DSPNet, SSDNet
+
+
+def test_factory_shapes_resnet50_512():
+    cfg = factory.get_config("resnet-50", 512)
+    det = cfg.drop_first_tap()
+    shapes = factory.feature_shapes(det, (512, 1024))
+    assert shapes == [(32, 64), (16, 32), (8, 16), (4, 8), (2, 4), (1, 2)]
+    anchors = factory.build_anchors(det, (512, 1024))
+    assert anchors.shape == (12264, 4)  # utils.py:37 multibox_anchors
+    anchors320 = factory.build_anchors(det, (320, 640))
+    assert anchors320.shape == (4822, 4)  # utils.py:35
+
+
+def test_factory_shapes_vgg300_ssd():
+    cfg = factory.get_config("vgg16_reduced", 300)
+    shapes = factory.feature_shapes(cfg, (300, 300))
+    assert shapes == [(38, 38), (19, 19), (10, 10), (5, 5), (3, 3), (1, 1)]
+    anchors = factory.build_anchors(cfg, (300, 300))
+    assert anchors.shape == (8732, 4)  # canonical SSD300 anchor count
+
+
+@pytest.mark.parametrize("network,num_layers", [("resnet-18", 18), ("resnet-50", 50)])
+def test_dspnet_multi_forward_shapes(network, num_layers):
+    H, W = 128, 256  # small stand-in, same aspect as 512x1024
+    cfg = factory.get_config(network, 512)
+    model = DSPNet(cfg=cfg, num_classes=8, task="multi")
+    x = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+
+    det_cfg = cfg.drop_first_tap()
+    A = factory.build_anchors(det_cfg, (H, W)).shape[0]
+    assert out["loc_preds"].shape == (1, A, 5)
+    assert out["cls_logits"].shape == (1, A, 9)
+    assert out["seg_logits"].shape == (1, H // 4, W // 4, 19)
+
+
+def test_dspnet_train_mode_updates_batch_stats():
+    cfg = factory.get_config("resnet-18", 512)
+    model = DSPNet(cfg=cfg, num_classes=8, task="multi")
+    x = jnp.ones((1, 128, 256, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=True)
+    assert "batch_stats" in variables
+    _, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in updates
+
+
+@pytest.mark.parametrize(
+    "network,size,hw",
+    [("vgg16_reduced", 300, (300, 300)), ("inceptionv3", 300, (300, 300)),
+     ("resnet101", 512, (128, 128))],
+)
+def test_ssd_forward_matches_analytic_anchors(network, size, hw):
+    cfg = factory.get_config(network, size)
+    model = SSDNet(cfg=cfg, num_classes=20)
+    x = jnp.zeros((1, hw[0], hw[1], 3), jnp.float32)
+    out = jax.eval_shape(
+        lambda: model.init_with_output(jax.random.PRNGKey(0), x, train=False)[0]
+    )
+    A = factory.build_anchors(cfg, hw).shape[0]
+    assert out["loc_preds"].shape == (1, A, 4)
+    assert out["cls_logits"].shape == (1, A, 21)

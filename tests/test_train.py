@@ -1,0 +1,115 @@
+"""Training-step tests: loss semantics, SGD parity, 8-device DP mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dspnet_tpu.models import factory
+from dspnet_tpu.models.dspnet import DSPNet
+from dspnet_tpu.parallel.mesh import make_mesh, shard_batch
+from dspnet_tpu.train import losses
+from dspnet_tpu.train.lr import lr_scheduler_from_epochs, multifactor_schedule
+from dspnet_tpu.train.optim import mxnet_sgd
+from dspnet_tpu.train.solver import MultiTaskSolver
+
+
+def test_smooth_l1():
+    x = jnp.asarray([-2.0, -0.5, 0.0, 0.5, 2.0])
+    got = np.asarray(losses.smooth_l1(x, 1.0))
+    want = np.asarray([1.5, 0.125, 0.0, 0.125, 1.5])
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_cls_loss_ignores_negative_labels():
+    logits = jnp.zeros((1, 4, 3))
+    tgt = jnp.asarray([[0.0, 1.0, -1.0, 2.0]])
+    loss, count = losses.cls_loss_valid(logits, tgt)
+    assert int(count) == 3
+    np.testing.assert_allclose(float(loss), np.log(3.0), rtol=1e-6)
+
+
+def test_seg_loss_null_normalization_sums():
+    logits = jnp.zeros((1, 2, 2, 19))
+    lbl = jnp.asarray([[[0, 255], [3, 255]]])
+    s = losses.seg_loss(logits, lbl, grad_scale=4.0)
+    np.testing.assert_allclose(float(s), 4.0 * 2 * np.log(19.0), rtol=1e-6)
+
+
+def test_mxnet_sgd_update_rule():
+    """One step must equal: mom = mu*mom - lr*(g/r + wd*w); w += mom."""
+    params = {"w": jnp.asarray([1.0, -2.0])}
+    grads = {"w": jnp.asarray([0.5, 0.25])}
+    lr, mu, wd, bs = 0.1, 0.9, 5e-4, 2
+    tx = mxnet_sgd(lr, mu, wd, rescale_grad=1.0 / bs)
+    st = tx.init(params)
+    upd, st = tx.update(grads, st, params)
+    new_w = params["w"] + upd["w"]
+    want = np.asarray([1.0, -2.0]) + (
+        -lr * (np.asarray([0.5, 0.25]) / bs + wd * np.asarray([1.0, -2.0]))
+    )
+    np.testing.assert_allclose(np.asarray(new_w), want, rtol=1e-6)
+    # second step uses momentum buffer
+    upd2, st = tx.update(grads, st, {"w": new_w})
+    mom1 = upd["w"]
+    want2 = mu * np.asarray(mom1) - lr * (np.asarray([0.5, 0.25]) / bs + wd * np.asarray(new_w))
+    np.testing.assert_allclose(np.asarray(upd2["w"]), want2, rtol=1e-5)
+
+
+def test_multifactor_schedule():
+    sched = multifactor_schedule(1.0, [10, 20], 0.5)
+    assert float(sched(0)) == 1.0
+    assert float(sched(10)) == 0.5
+    assert float(sched(25)) == 0.25
+    lr, sched2 = lr_scheduler_from_epochs(0.02, "80,160", 0.5, 2975, 32, begin_epoch=100)
+    np.testing.assert_allclose(lr, 0.01)
+    epoch_size = 2975 // 32
+    assert float(sched2(epoch_size * 60)) == pytest.approx(0.005)
+
+
+def _tiny_batch(rng, B, H, W):
+    labels = np.full((B, 8, 6), -1.0, np.float32)
+    labels[:, 0] = [1.0, 0.3, 0.3, 0.6, 0.7, 0.4]
+    seg = rng.randint(0, 19, (B, H // 4, W // 4)).astype(np.int32)
+    seg[:, 0, :] = 255
+    return {
+        "images": rng.randn(B, H, W, 3).astype(np.float32),
+        "label_det": labels,
+        "seg_label": seg,
+    }
+
+
+def test_single_device_train_step_decreases_loss(rng):
+    H, W = 128, 256
+    cfg = factory.get_config("resnet-18", 512)
+    model = DSPNet(cfg=cfg, num_classes=8, task="multi")
+    anchors = factory.build_anchors(cfg.drop_first_tap(), (H, W))
+    solver = MultiTaskSolver(model, anchors, learning_rate=1e-3, batch_size=2,
+                             seg_normalize="valid")
+    batch = _tiny_batch(rng, 2, H, W)
+    state = solver.init_state(jax.random.PRNGKey(0), jnp.asarray(batch["images"]))
+    state, m0 = solver.train_step(state, batch)
+    for _ in range(5):
+        state, m = solver.train_step(state, batch)
+    assert float(m["loss"]) < float(m0["loss"])
+    assert int(state.step) == 6
+
+
+def test_data_parallel_mesh_8_devices(rng):
+    assert jax.device_count() == 8
+    H, W = 128, 256
+    cfg = factory.get_config("resnet-18", 512)
+    model = DSPNet(cfg=cfg, num_classes=8, task="multi")
+    anchors = factory.build_anchors(cfg.drop_first_tap(), (H, W))
+    mesh = make_mesh()
+    assert mesh.shape["data"] == 8
+    solver = MultiTaskSolver(model, anchors, learning_rate=1e-3, batch_size=8,
+                             mesh=mesh, seg_normalize="valid")
+    batch = shard_batch(mesh, _tiny_batch(rng, 8, H, W))
+    state = solver.init_state(jax.random.PRNGKey(0), jnp.asarray(batch["images"]))
+    state, metrics = solver.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # params must stay replicated after the update
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
