@@ -34,7 +34,13 @@ class ModelBundle:
 
 
 def parse_network_name(name: str) -> Tuple[str, str]:
-    """'resnet-50_multi' -> ('resnet-50', 'multi'); no suffix -> 'ssd'."""
+    """'resnet-50_multi' -> ('resnet-50', 'multi'); no suffix -> 'ssd'.
+
+    Legacy names (reference symbol/legacy_vgg16_ssd_{300,512}.py, reachable
+    via the factory's `legacy*` bypass, multitask_symbol_factory.py:116-118)
+    alias to the vgg16_reduced SSD preset at the matching resolution."""
+    if name.startswith("legacy_vgg16_ssd"):
+        return "vgg16_reduced", "ssd"
     for suffix in ("_det", "_seg", "_multi"):
         if name.endswith(suffix):
             return name[: -len(suffix)], suffix[1:]

@@ -46,6 +46,9 @@ def parse_args(argv=None):
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--seg-normalize", default="null", choices=["null", "valid"])
+    p.add_argument("--loader", default="python", choices=["python", "native"],
+                   help="host input pipeline: pure python or the C++ loader")
+    p.add_argument("--loader-threads", type=int, default=8)
     args = p.parse_args(argv)
     args.data_shape = parse_data_shape(args.data_shape)
     return args
@@ -60,7 +63,17 @@ def main(argv=None):
              bundle.name, bundle.task, bundle.num_anchors, H, W)
 
     train_index = resolve_dataset(args, "train")
-    train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W), enable_aug=True)
+    if args.loader == "native":
+        from dspnet_tpu.data.native_loader import NativeMultiTaskIterator, native_available
+
+        assert native_available(), "build it first: make -C native"
+        train_iter = NativeMultiTaskIterator(
+            train_index, args.batch_size, (H, W), enable_aug=True,
+            num_threads=args.loader_threads,
+        )
+        log.info("using native C++ loader (%d threads)", args.loader_threads)
+    else:
+        train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W), enable_aug=True)
 
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)

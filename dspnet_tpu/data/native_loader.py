@@ -1,0 +1,148 @@
+"""ctypes bindings for the native C++ data loader (native/dataloader.cpp).
+
+Drop-in alternative to :class:`~dspnet_tpu.data.iterator.MultiTaskIterator`
+backed by a multithreaded C++ pipeline (JPEG/PNG decode + affine warp + box
+transform + mean-sub), the TPU-native counterpart of the reference's
+`preprocess_threads=48` C++ record iterator (config/config.py:56). The
+shuffle order and augmentation parameter table stay on the Python side
+(numpy seed 233) so batches match the pure-Python iterator.
+
+Build: ``make -C native`` (libjpeg/libpng/pthread only).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from dspnet_tpu.data import augment as aug
+from dspnet_tpu.data.cs_labels import seg_label_lut
+from dspnet_tpu.data.iterator import LABEL_WIDTH, MAX_OBJECTS, SampleIndex
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libdspnet_data.so")
+
+
+def _load_lib():
+    lib = ctypes.CDLL(os.path.abspath(_LIB_PATH))
+    lib.dl_create.restype = ctypes.c_void_p
+    lib.dl_create.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.dl_add_sample.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)
+    ]
+    lib.dl_start_epoch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
+    lib.dl_num_batches.argtypes = [ctypes.c_void_p]
+    lib.dl_num_batches.restype = ctypes.c_int
+    lib.dl_next_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.dl_next_batch.restype = ctypes.c_int
+    lib.dl_destroy.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def native_available() -> bool:
+    return os.path.exists(_LIB_PATH)
+
+
+class NativeMultiTaskIterator:
+    """Same batch contract as MultiTaskIterator, C++ workers underneath."""
+
+    def __init__(
+        self,
+        index: SampleIndex,
+        batch_size: int,
+        data_shape: Tuple[int, int],
+        mean_pixels=aug.MEAN_PIXELS,
+        enable_aug: bool = True,
+        seed: int = 233,
+        num_threads: int = 8,
+        queue_cap: int = 4,
+        shuffle: bool = True,
+    ):
+        self.lib = _load_lib()
+        self.batch_size = batch_size
+        self.data_shape = tuple(data_shape)
+        self.enable_aug = enable_aug
+        self.shuffle = shuffle
+        self.rng = np.random.RandomState(seed)
+        self.num_samples = len(index)
+        H, W = self.data_shape
+        mean = (ctypes.c_float * 3)(*[float(m) for m in mean_pixels])
+        lut = seg_label_lut()
+        lut_c = (ctypes.c_uint8 * 256)(*lut.tolist())
+        self.handle = self.lib.dl_create(
+            H, W, batch_size, num_threads, queue_cap, mean, int(enable_aug), lut_c
+        )
+        for s in index.samples:
+            lbl = np.ascontiguousarray(s.label, np.float32)
+            self.lib.dl_add_sample(
+                self.handle,
+                s.image_path.encode(),
+                s.seg_path.encode() if s.seg_path else None,
+                lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        self.order = np.arange(self.num_samples, dtype=np.int32)
+        if shuffle:
+            self.rng.shuffle(self.order)
+        self._start_epoch()
+
+    def _start_epoch(self):
+        self.aug_params = aug.sample_aug_params(self.num_samples, self.data_shape, self.rng)
+        order = np.ascontiguousarray(self.order, np.int32)
+        augp = np.ascontiguousarray(self.aug_params, np.float64)
+        self.lib.dl_start_epoch(
+            self.handle,
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            augp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            self.num_samples,
+        )
+        self.num_batches = self.lib.dl_num_batches(self.handle)
+        self._consumed = 0
+
+    def reset(self):
+        if self.shuffle:
+            self.rng.shuffle(self.order)
+        self._start_epoch()
+
+    def next_batch(self):
+        H, W = self.data_shape
+        B = self.batch_size
+        images = np.empty((B, H, W, 3), np.float32)
+        labels = np.empty((B, MAX_OBJECTS, LABEL_WIDTH), np.float32)
+        segs = np.empty((B, H // 4, W // 4), np.int32)
+        n = self.lib.dl_next_batch(
+            self.handle,
+            images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        assert n == B
+        self._consumed += 1
+        return {"images": images, "label_det": labels, "seg_label": segs}
+
+    def __iter__(self):
+        if self._consumed:
+            self.reset()
+        while self._consumed < self.num_batches:
+            yield self.next_batch()
+
+    def close(self):
+        if self.handle:
+            self.lib.dl_destroy(self.handle)
+            self.handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

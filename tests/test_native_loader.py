@@ -1,0 +1,49 @@
+"""Native C++ loader parity vs the pure-Python iterator."""
+
+import numpy as np
+import pytest
+
+from dspnet_tpu.data import synthetic
+from dspnet_tpu.data.iterator import MultiTaskIterator
+from dspnet_tpu.data.native_loader import NativeMultiTaskIterator, native_available
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native loader not built (make -C native)"
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("native_synth"))
+    return synthetic.build_dataset(root, num_samples=6, hw=(64, 128))
+
+
+@pytest.mark.parametrize("enable_aug", [False, True])
+def test_native_matches_python(dataset, enable_aug):
+    kw = dict(batch_size=2, data_shape=(64, 128), enable_aug=enable_aug, shuffle=True)
+    py_it = MultiTaskIterator(dataset, **kw)
+    nat_it = NativeMultiTaskIterator(dataset, num_threads=3, **kw)
+    for _ in range(3):
+        pb, _ = py_it.next_batch()
+        nb = nat_it.next_batch()
+        # labels must match exactly (same rng tables, same float math)
+        np.testing.assert_allclose(nb["label_det"], pb["label_det"], atol=2e-5)
+        # images: libjpeg vs cv2 decode + warp rounding can differ by a few
+        # LSBs per pixel; demand close agreement
+        diff = np.abs(nb["images"] - pb["images"])
+        assert np.mean(diff) < 1.0, f"mean abs diff {np.mean(diff)}"
+        assert np.percentile(diff, 99) <= 16.0
+        # seg labels: nearest-neighbor — identical except warp-boundary pixels
+        seg_mismatch = np.mean(nb["seg_label"] != pb["seg_label"])
+        assert seg_mismatch < 0.02, f"seg mismatch rate {seg_mismatch}"
+    nat_it.close()
+
+
+def test_native_epoch_reset_deterministic(dataset):
+    a = NativeMultiTaskIterator(dataset, batch_size=2, data_shape=(64, 128), num_threads=2)
+    b = NativeMultiTaskIterator(dataset, batch_size=2, data_shape=(64, 128), num_threads=4)
+    ba = a.next_batch()
+    bb = b.next_batch()
+    np.testing.assert_array_equal(ba["images"], bb["images"])  # thread count must not matter
+    a.close()
+    b.close()
