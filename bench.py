@@ -4,6 +4,9 @@ Measures the BASELINE.md north-star metric: images/sec/chip for the full
 512x512 multitask pipeline (resnet-50 backbone + SSD/depth head + PSP seg
 head + on-device decode+NMS + seg argmax) on the attached TPU.
 
+Serving configuration: bfloat16 weights/activations on the MXU (box decode,
+NMS, and softmax stay float32), batch 32, Pallas fused-NMS backend.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 500 (the >=500 img/s/chip target for v5e).
 """
@@ -14,8 +17,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def main():
     import jax
@@ -23,25 +24,29 @@ def main():
 
     from dspnet_tpu.api import create_model
     from dspnet_tpu.ops.detection import multibox_detection
+    from dspnet_tpu.utils.precision import bf16_variables
 
     H = W = 512
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    on_tpu = jax.devices()[0].platform != "cpu"
     bundle = create_model("resnet-50_multi", (H, W), num_classes=8)
     model = bundle.model
     anchors = jnp.asarray(bundle.anchors)
 
-    rng = jax.random.PRNGKey(0)
-    images = jax.random.normal(rng, (batch, H, W, 3), jnp.float32)
+    images = jax.random.normal(jax.random.PRNGKey(0), (batch, H, W, 3), jnp.float32)
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
-        jax.random.PRNGKey(0), images[:1])
+        jax.random.PRNGKey(0), images[:1]
+    )
+    variables = bf16_variables(variables)
 
     @jax.jit
     def forward(variables, images):
-        out = model.apply(variables, images, train=False)
-        cls_prob = jax.nn.softmax(out["cls_logits"], axis=-1)
+        out = model.apply(variables, images.astype(jnp.bfloat16), train=False)
+        cls_prob = jax.nn.softmax(out["cls_logits"].astype(jnp.float32), axis=-1)
         det = multibox_detection(
-            jnp.swapaxes(cls_prob, 1, 2), out["loc_preds"], anchors,
+            jnp.swapaxes(cls_prob, 1, 2), out["loc_preds"].astype(jnp.float32), anchors,
             threshold=0.01, nms_threshold=0.45, nms_topk=400,
+            nms_backend="pallas" if on_tpu else "xla",
         )
         seg = jnp.argmax(out["seg_logits"], axis=-1)
         return det, seg

@@ -9,24 +9,19 @@ official evaluator (multi_eval.py:356-362).
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
-import cv2
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from dspnet_tpu.api import create_model
 from dspnet_tpu.cli.common import parse_data_shape, resolve_dataset, setup_logging
-from dspnet_tpu.data.cs_labels import DET_CLASSES, SEG_CLASSES, TRAINID_TO_LABELID
+from dspnet_tpu.data.cs_labels import DET_CLASSES
 from dspnet_tpu.data.iterator import MultiTaskIterator
 from dspnet_tpu.detect.detector import Detector
-from dspnet_tpu.evaluate.eval_metric import (
-    DistanceAccuracyMetric,
-    IoUMetric,
-    MApMetric,
-    CustomAccuracyMetric,
-)
+from dspnet_tpu.evaluate.loop import evaluate_model
+from dspnet_tpu.train.solver import MultiTaskSolver
 from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_prefix
 
 
@@ -58,10 +53,6 @@ def main(argv=None):
     H, W = args.data_shape
     bundle = create_model(args.network, (H, W), args.num_classes)
 
-    import jax.numpy as jnp
-
-    from dspnet_tpu.train.solver import MultiTaskSolver
-
     solver = MultiTaskSolver(bundle.model, bundle.anchors if bundle.anchors is not None
                              else np.zeros((1, 4), np.float32))
     state = solver.init_state(jax.random.PRNGKey(0), jnp.zeros((args.batch_size, H, W, 3)))
@@ -81,71 +72,14 @@ def main(argv=None):
     index = resolve_dataset(args, "val")
     it = MultiTaskIterator(index, args.batch_size, (H, W), enable_aug=False, shuffle=False)
 
-    map_metric = MApMetric(args.overlap_thresh, class_names=list(DET_CLASSES))
-    iou_metric = IoUMetric(list(SEG_CLASSES))
-    acc_metric = CustomAccuracyMetric()
-    dist_metric = DistanceAccuracyMetric(list(DET_CLASSES))
-
-    n_batches = 0
-    total_ms = 0.0
-    timed_batches = 0
-    for batch, fnames in it.epoch():
-        t0 = time.time()
-        res = detector.predict(batch["images"])
-        jax.block_until_ready(res)
-        if n_batches > 0:  # exclude the compile batch from timing
-            total_ms += (time.time() - t0) * 1000.0
-            timed_batches += 1
-        n_batches += 1
-
-        if "det" in res:
-            det = np.asarray(res["det"])
-            labels, preds = [], []
-            for b in range(det.shape[0]):
-                gt = batch["label_det"][b]
-                gt = gt[gt[:, 0] >= 0][:, :5]
-                rows = det[b]
-                rows = rows[(rows[:, 0] >= 0) & (rows[:, 1] > args.det_score_thresh)]
-                labels.append(gt)
-                preds.append(rows[:, :6])
-                # depth error vs disparity PNG if present
-                disp_path = fnames[b].replace("JPEGImages", "Disparity").replace(
-                    "_leftImg8bit.jpg", "_disparity.png"
-                )
-                if os.path.exists(disp_path):
-                    disparity = cv2.imread(disp_path, cv2.IMREAD_UNCHANGED)
-                    dist_metric.update(disparity, rows)
-            map_metric.update(labels, preds)
-        if "seg" in res and "seg_label" in batch:
-            seg_pred = np.asarray(res["seg"])
-            iou_metric.update(batch["seg_label"], seg_pred)
-            acc_metric.update(batch["seg_label"], seg_pred)
-            if args.write_results:
-                os.makedirs(args.write_results, exist_ok=True)
-                for b in range(seg_pred.shape[0]):
-                    up = cv2.resize(
-                        seg_pred[b].astype(np.uint8), (2048, 1024),
-                        interpolation=cv2.INTER_NEAREST,
-                    )
-                    out = TRAINID_TO_LABELID[np.clip(up, 0, 18)]
-                    name = os.path.splitext(os.path.basename(fnames[b]))[0] + "_pred.png"
-                    cv2.imwrite(os.path.join(args.write_results, name), out)
-
-    results = {}
-    for metric in (map_metric, iou_metric, acc_metric, dist_metric):
-        try:
-            results.update(metric.get_dict())
-        except Exception:
-            pass
-    results["ms_per_batch"] = total_ms / max(timed_batches, 1)
-    for k, v in results.items():
-        log.info("%s: %s", k, v)
-    # LaTeX-style row like the reference (multi_solver.py:500-517)
-    keys = ["mAP", "mIoU", "accuracy", "derror", "ms_per_batch"]
-    log.info(" & ".join(f"{k}={results.get(k, float('nan')):.4f}"
-                        if isinstance(results.get(k), float) else f"{k}={results.get(k)}"
-                        for k in keys))
-    return results
+    return evaluate_model(
+        detector,
+        it,
+        det_score_thresh=args.det_score_thresh,
+        overlap_thresh=args.overlap_thresh,
+        write_results=args.write_results or None,
+        log_fn=log.info,
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,129 @@
+"""Detection-only iterator with SSD-style random crop/pad augmentation.
+
+Capability parity with the reference's plain-SSD input paths
+(dataset/iterator.py:113-297 DetIter and :10-111 DetRecordIter): per image,
+with configured probabilities, apply one of the IoU-constrained RandCropper
+samples or a RandPadder canvas (tools/rand_sampler.py), optional horizontal
+mirror, random-interpolation resize, then mean-sub NHWC float. Labels are
+(B, max_objects, 5) rows [cls, x1, y1, x2, y2] normalized.
+
+Used for training the 4-coordinate SSD variant (VOC-style datasets); the
+multitask path uses data.iterator.MultiTaskIterator instead.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import cv2
+import numpy as np
+
+from dspnet_tpu.data import augment as aug
+from dspnet_tpu.data.iterator import SampleIndex
+from dspnet_tpu.utils.config import cfg as default_cfg
+
+INTERP_METHODS = [cv2.INTER_LINEAR, cv2.INTER_CUBIC, cv2.INTER_AREA,
+                  cv2.INTER_NEAREST, cv2.INTER_LANCZOS4]
+
+
+class DetIterator:
+    def __init__(
+        self,
+        index: SampleIndex,
+        batch_size: int,
+        data_shape: Tuple[int, int],
+        mean_pixels=aug.MEAN_PIXELS,
+        max_objects: int = 100,
+        is_train: bool = True,
+        train_cfg=None,
+        seed: int = 233,
+    ):
+        self.index = index
+        self.batch_size = batch_size
+        self.data_shape = tuple(data_shape)
+        self.mean_pixels = mean_pixels
+        self.max_objects = max_objects
+        self.is_train = is_train
+        self.cfg = train_cfg if train_cfg is not None else (
+            default_cfg.train if is_train else default_cfg.valid
+        )
+        self.rng = np.random.RandomState(seed)
+        self.order = np.arange(len(index))
+        if is_train and self.cfg.get("shuffle", False):
+            self.rng.shuffle(self.order)
+        self.cursor = 0
+
+    def reset(self):
+        if self.is_train and self.cfg.get("shuffle", False):
+            self.rng.shuffle(self.order)
+        self.cursor = 0
+
+    def __iter__(self):
+        self.reset()
+        while self.cursor + self.batch_size <= len(self.index):
+            yield self.next_batch()
+
+    def _augment(self, img, label):
+        """Crop/pad/mirror pipeline (iterator.py:249-297)."""
+        rng = self.rng
+        # random crop via the sampler list
+        samplers = self.cfg.get("rand_crop_samplers", [])
+        if samplers and rng.rand() < self.cfg.get("rand_crop_prob", 0.0):
+            sampler = samplers[rng.randint(len(samplers))]
+            samples = sampler.sample(label, rng)
+            if samples:
+                box, label = samples[rng.randint(len(samples))]
+                h, w = img.shape[:2]
+                x1 = int(round(box[0] * w))
+                y1 = int(round(box[1] * h))
+                x2 = int(round(box[2] * w))
+                y2 = int(round(box[3] * h))
+                img = img[max(0, y1):max(1, y2), max(0, x1):max(1, x2)]
+        # random pad
+        padder = self.cfg.get("rand_pad", None)
+        if padder is not None and rng.rand() < self.cfg.get("rand_pad_prob", 0.0):
+            samples = padder.sample(label, rng)
+            if samples:
+                box, label = samples[rng.randint(len(samples))]
+                h, w = img.shape[:2]
+                nw = int(round((box[2] - box[0]) * w))
+                nh = int(round((box[3] - box[1]) * h))
+                ox = int(round(-box[0] * w))
+                oy = int(round(-box[1] * h))
+                canvas = np.full((nh, nw, 3), 128, img.dtype)
+                canvas[oy:oy + h, ox:ox + w] = img
+                img = canvas
+        # mirror
+        if rng.rand() < self.cfg.get("rand_mirror_prob", 0.0):
+            img = cv2.flip(img, 1)
+            valid = label[:, 0] >= 0
+            x1 = label[valid, 1].copy()
+            label[valid, 1] = 1.0 - label[valid, 3]
+            label[valid, 3] = 1.0 - x1
+        return img, label
+
+    def next_batch(self):
+        H, W = self.data_shape
+        B = self.batch_size
+        images = np.zeros((B, H, W, 3), np.float32)
+        # width-6 rows (dist column 0) so the shared multibox_target op
+        # consumes plain-SSD labels unchanged
+        labels = np.full((B, self.max_objects, 6), -1.0, np.float32)
+        for b in range(B):
+            s = self.index[int(self.order[self.cursor])]
+            img = cv2.imread(s.image_path, cv2.IMREAD_COLOR)
+            assert img is not None, s.image_path
+            label = s.label[:, :5].copy()
+            if self.is_train:
+                img, label = self._augment(img, label)
+                interp = INTERP_METHODS[self.rng.randint(len(INTERP_METHODS))] \
+                    if self.cfg.get("inter_method", 1) == 10 else cv2.INTER_LINEAR
+            else:
+                interp = cv2.INTER_LINEAR
+            img = cv2.resize(img, (W, H), interpolation=interp)
+            images[b] = aug.normalize_image(img, self.mean_pixels)
+            valid = label[label[:, 0] >= 0][: self.max_objects]
+            labels[b, : valid.shape[0], :5] = valid
+            labels[b, : valid.shape[0], 5] = 0.0
+            self.cursor += 1
+        return {"images": images, "label_det": labels}

@@ -1,0 +1,106 @@
+"""Shared evaluation loop — the forward-only metric pass used by the eval
+CLI and the per-epoch validation inside training (reference
+multi_solver.py:355-517 / multi_eval.py:275-423 behavior)."""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+
+from dspnet_tpu.data.cs_labels import DET_CLASSES, SEG_CLASSES
+from dspnet_tpu.evaluate.eval_metric import (
+    CustomAccuracyMetric,
+    DistanceAccuracyMetric,
+    IoUMetric,
+    MApMetric,
+)
+
+
+def disparity_path_for(image_path: str) -> str:
+    """Image path -> sibling disparity PNG (the synthetic/prepared layout)."""
+    return image_path.replace("JPEGImages", "Disparity").replace(
+        "_leftImg8bit.jpg", "_disparity.png"
+    )
+
+
+def evaluate_model(
+    detector,
+    iterator,
+    det_score_thresh: float = 0.1,
+    overlap_thresh: float = 0.5,
+    class_names=DET_CLASSES,
+    seg_class_names=SEG_CLASSES,
+    write_results: Optional[str] = None,
+    log_fn=None,
+) -> Dict[str, float]:
+    """One pass over ``iterator`` computing mAP, mIoU, pixel accuracy, depth
+    relative error, and steady-state ms/batch. Returns a flat metric dict."""
+    import cv2
+
+    map_metric = MApMetric(overlap_thresh, class_names=list(class_names))
+    iou_metric = IoUMetric(list(seg_class_names))
+    acc_metric = CustomAccuracyMetric()
+    dist_metric = DistanceAccuracyMetric(list(class_names))
+
+    n_batches = 0
+    total_ms = 0.0
+    timed = 0
+    for batch, fnames in iterator.epoch():
+        t0 = time.time()
+        res = detector.predict(batch["images"])
+        jax.block_until_ready(res)
+        if n_batches > 0:
+            total_ms += (time.time() - t0) * 1000.0
+            timed += 1
+        n_batches += 1
+
+        if "det" in res:
+            det = np.asarray(res["det"])
+            labels, preds = [], []
+            for b in range(det.shape[0]):
+                gt = batch["label_det"][b]
+                gt = gt[gt[:, 0] >= 0][:, :5]
+                rows = det[b]
+                rows = rows[(rows[:, 0] >= 0) & (rows[:, 1] > det_score_thresh)]
+                labels.append(gt)
+                preds.append(rows[:, :6])
+                dpath = disparity_path_for(fnames[b])
+                if os.path.exists(dpath):
+                    disparity = cv2.imread(dpath, cv2.IMREAD_UNCHANGED)
+                    if disparity is not None:
+                        dist_metric.update(disparity, rows)
+            map_metric.update(labels, preds)
+        if "seg" in res and "seg_label" in batch:
+            seg_pred = np.asarray(res["seg"])
+            iou_metric.update(batch["seg_label"], seg_pred)
+            acc_metric.update(batch["seg_label"], seg_pred)
+            if write_results:
+                from dspnet_tpu.evaluate.cityscapes_eval import write_result_png
+
+                os.makedirs(write_results, exist_ok=True)
+                for b in range(seg_pred.shape[0]):
+                    name = os.path.splitext(os.path.basename(fnames[b]))[0] + "_pred.png"
+                    write_result_png(seg_pred[b], os.path.join(write_results, name))
+
+    results: Dict[str, float] = {}
+    for metric in (map_metric, iou_metric, acc_metric, dist_metric):
+        try:
+            results.update(metric.get_dict())
+        except Exception:
+            pass
+    results["ms_per_batch"] = total_ms / max(timed, 1)
+    if log_fn:
+        for k in ("mAP", "mIoU", "accuracy", "derror", "ms_per_batch"):
+            if k in results:
+                log_fn(f"{k}: {results[k]}")
+        # LaTeX-ready &-joined row (multi_solver.py:500-517)
+        log_fn(" & ".join(
+            f"{k}={results[k]:.4f}" for k in ("mAP", "mIoU", "accuracy", "derror", "ms_per_batch")
+            if isinstance(results.get(k), float)
+        ))
+    return results

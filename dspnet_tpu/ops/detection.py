@@ -21,7 +21,10 @@ TPU redesign (static shapes):
      ``keep = valid & ~(S^T @ keep)`` with S the upper-triangular suppression
      matrix — each iteration is one K x K matmul on the MXU; the fixpoint
      equals the sequential greedy result exactly (induction over row index),
-     and is reached in O(longest suppression chain) iterations.
+     and is reached in O(longest suppression chain) iterations. Two
+     backends: ``nms_backend='xla'`` (vmapped lax ops) and ``'pallas'``
+     (one fused VMEM-resident kernel per batch element,
+     ops/nms_pallas.py).
 
 Known deviation (documented, not silently different): when more than
 ``nms_topk`` anchors pass the score threshold, the reference leaves the
@@ -66,20 +69,8 @@ def _nms_fixpoint(keep_init, suppress):
     return keep
 
 
-def _detect_single(
-    cls_prob,
-    loc_pred,
-    anchors,
-    threshold,
-    clip,
-    variances,
-    nms_threshold,
-    force_suppress,
-    topk,
-):
-    """cls_prob (C, A), loc_pred (A, 5), anchors (A, 4) -> (K, 7)."""
-    num_classes, num_anchors = cls_prob.shape
-
+def _decode_topk_single(cls_prob, loc_pred, anchors, threshold, clip, variances, topk):
+    """cls_prob (C, A), loc_pred (A, 5) -> top-K rows before NMS."""
     fg = cls_prob[1:]  # foreground classes
     score = jnp.max(fg, axis=0)
     cid = jnp.argmax(fg, axis=0).astype(jnp.float32)  # 0-based object class
@@ -99,20 +90,16 @@ def _detect_single(
     k_score = jnp.where(k_valid, jnp.take(score, top), -1.0)
     k_boxes = jnp.where(k_valid[:, None], jnp.take(dec_boxes, top, axis=0), -1.0)
     k_dist = jnp.where(k_valid, jnp.take(dec_dist, top), -1.0)
+    return k_valid, k_id, k_score, k_boxes, k_dist
 
-    if 0.0 < nms_threshold <= 1.0:
-        iou = box_ops.iou_matrix(k_boxes, k_boxes)
-        row = jnp.arange(topk)
-        upper = row[:, None] < row[None, :]
-        class_ok = jnp.ones((topk, topk), bool) if force_suppress else (k_id[:, None] == k_id[None, :])
-        suppress = upper & class_ok & (iou >= nms_threshold) & k_valid[:, None] & k_valid[None, :]
-        keep = _nms_fixpoint(k_valid, suppress)
-        # Reference overwrites only the class id of suppressed rows.
-        k_id = jnp.where(keep, k_id, -1.0)
 
-    return jnp.concatenate(
-        [k_id[:, None], k_score[:, None], k_boxes, k_dist[:, None]], axis=-1
-    )
+def _nms_xla_single(k_valid, k_id, k_boxes, nms_threshold, force_suppress, topk):
+    iou = box_ops.iou_matrix(k_boxes, k_boxes)
+    row = jnp.arange(topk)
+    upper = row[:, None] < row[None, :]
+    class_ok = jnp.ones((topk, topk), bool) if force_suppress else (k_id[:, None] == k_id[None, :])
+    suppress = upper & class_ok & (iou >= nms_threshold) & k_valid[:, None] & k_valid[None, :]
+    return _nms_fixpoint(k_valid, suppress)
 
 
 @partial(
@@ -124,6 +111,7 @@ def _detect_single(
         "nms_threshold",
         "force_suppress",
         "nms_topk",
+        "nms_backend",
     ),
 )
 def multibox_detection(
@@ -136,6 +124,7 @@ def multibox_detection(
     nms_threshold: float = 0.5,
     force_suppress: bool = False,
     nms_topk: int = 400,
+    nms_backend: str = "xla",
 ):
     """Batched MultiBoxDetection.
 
@@ -143,6 +132,8 @@ def multibox_detection(
       cls_prob:  (B, C, A) class probabilities (background = class 0).
       loc_preds: (B, A, 5) or (B, A*5) location regressions.
       anchors:   (A, 4) or (1, A, 4) corner anchors.
+      nms_backend: 'xla' (vmapped lax fixpoint) or 'pallas' (fused VMEM
+        kernel; TPU only).
 
     Returns:
       (B, K, 7) rows ``[class_id, score, xmin, ymin, xmax, ymax, dist]`` with
@@ -154,19 +145,44 @@ def multibox_detection(
         anchors = anchors[0]
     num_anchors = anchors.shape[0]
     if loc_preds.ndim == 2:
-        loc_preds = loc_preds.reshape(loc_preds.shape[0], num_anchors, 5)
+        loc_preds = loc_preds.reshape(loc_preds.shape[0], num_anchors, -1)
+    if loc_preds.shape[-1] == 4:
+        # classic SSD head: no distance channel -> decoded distance 0
+        loc_preds = jnp.concatenate(
+            [loc_preds, jnp.zeros_like(loc_preds[..., :1])], axis=-1
+        )
     topk = nms_topk if nms_topk > 0 else num_anchors
     topk = min(topk, num_anchors)
-    fn = partial(
-        _detect_single,
+
+    decode = partial(
+        _decode_topk_single,
         anchors=anchors.astype(jnp.float32),
         threshold=threshold,
         clip=clip,
         variances=variances,
-        nms_threshold=nms_threshold,
-        force_suppress=force_suppress,
         topk=topk,
     )
-    return jax.vmap(lambda c, l: fn(c, l))(
+    k_valid, k_id, k_score, k_boxes, k_dist = jax.vmap(lambda c, l: decode(c, l))(
         cls_prob.astype(jnp.float32), loc_preds.astype(jnp.float32)
+    )
+
+    if 0.0 < nms_threshold <= 1.0:
+        if nms_backend == "pallas":
+            from dspnet_tpu.ops.nms_pallas import nms_keep_mask
+
+            keep = nms_keep_mask(k_boxes, k_id, k_valid, nms_threshold, force_suppress)
+        else:
+            keep = jax.vmap(
+                partial(
+                    _nms_xla_single,
+                    nms_threshold=nms_threshold,
+                    force_suppress=force_suppress,
+                    topk=topk,
+                )
+            )(k_valid, k_id, k_boxes)
+        # Reference overwrites only the class id of suppressed rows.
+        k_id = jnp.where(keep, k_id, -1.0)
+
+    return jnp.concatenate(
+        [k_id[..., None], k_score[..., None], k_boxes, k_dist[..., None]], axis=-1
     )

@@ -141,8 +141,10 @@ class MultiTaskSolver:
                 negative_mining_ratio=self.negative_mining_ratio,
                 negative_mining_thresh=self.negative_mining_thresh,
             )
-            loc_t = jax.lax.stop_gradient(loc_t)
-            loc_m = jax.lax.stop_gradient(loc_m)
+            # classic 4-coordinate SSD heads drop the distance channel
+            lc = outputs["loc_preds"].shape[-1]
+            loc_t = jax.lax.stop_gradient(loc_t[..., :lc])
+            loc_m = jax.lax.stop_gradient(loc_m[..., :lc])
             cls_t = jax.lax.stop_gradient(cls_t)
 
         total, metrics = loss_mod.multitask_loss(
