@@ -41,6 +41,11 @@ def make_example(
     far = DISPARITY_SCALE / 150.0
     disparity[:] = int(far)
 
+    # fixed per-class BGR colors so the class is learnable from appearance
+    class_colors = [
+        (40, 40, 220), (40, 220, 220), (220, 40, 40), (220, 40, 220),
+        (40, 220, 40), (220, 220, 40), (140, 40, 140), (40, 140, 220),
+    ]
     rows = []
     for _ in range(num_objects):
         cls = rng.randint(0, num_classes)
@@ -48,8 +53,9 @@ def make_example(
         h = rng.randint(max(6, H // 16), max(8, H // 4))
         x1 = rng.randint(0, W - w)
         y1 = rng.randint(max(0, horizon - h // 2), H - h)
-        dist_m = float(rng.uniform(5.0, 150.0))
-        color = tuple(int(c) for c in rng.randint(50, 255, 3))
+        # distance inversely tied to apparent size (learnable signal)
+        dist_m = float(np.clip(30.0 * W / 8.0 / max(w, h), 5.0, 150.0))
+        color = class_colors[cls % len(class_colors)]
         cv2.rectangle(img, (x1, y1), (x1 + w, y1 + h), color, -1)
         seg[y1 : y1 + h, x1 : x1 + w] = 13  # car trainId
         disparity[y1 : y1 + h, x1 : x1 + w] = int(DISPARITY_SCALE / dist_m)

@@ -81,6 +81,7 @@ class MultiTaskSolver:
         overlap_threshold: float = 0.5,
         negative_mining_ratio: float = 3.0,
         negative_mining_thresh: float = 0.5,
+        compute_dtype: str = "float32",
     ):
         self.model = model
         self.anchors = jnp.asarray(anchors, jnp.float32)
@@ -91,6 +92,7 @@ class MultiTaskSolver:
         self.overlap_threshold = overlap_threshold
         self.negative_mining_ratio = negative_mining_ratio
         self.negative_mining_thresh = negative_mining_thresh
+        self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.tx = mxnet_sgd(
             learning_rate, momentum, weight_decay, rescale_grad=1.0 / batch_size
         )
@@ -120,14 +122,27 @@ class MultiTaskSolver:
     # ---------------------------------------------------------- step builder
 
     def _loss_fn(self, params, batch_stats, batch, train: bool):
+        images = batch["images"]
+        if self.compute_dtype != jnp.float32:
+            # mixed precision: f32 master weights, bf16 compute on the MXU;
+            # losses/targets stay f32 (cast back below)
+            params = jax.tree.map(
+                lambda x: x.astype(self.compute_dtype)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                params,
+            )
+            images = images.astype(self.compute_dtype)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if (train and batch_stats) else False
-        ret = self.model.apply(variables, batch["images"], train=train, mutable=mutable)
+        ret = self.model.apply(variables, images, train=train, mutable=mutable)
         outputs, new_stats = (ret if mutable else (ret, {}))
         if mutable:
             new_stats = new_stats.get("batch_stats", {})
+        outputs = jax.tree.map(lambda x: x.astype(jnp.float32), outputs)
+        if mutable:
+            new_stats = jax.tree.map(lambda x: x.astype(jnp.float32), new_stats)
 
         loc_t = loc_m = cls_t = None
         if "cls_logits" in outputs and "label_det" in batch:

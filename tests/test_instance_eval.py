@@ -1,0 +1,73 @@
+"""Instance-level AP evaluation tests."""
+
+import numpy as np
+import pytest
+
+from dspnet_tpu.evaluate.instance_eval import (
+    average_precision,
+    boxes_and_seg_to_instances,
+    decode_instance_png,
+    evaluate_instances,
+    match_instances,
+)
+
+
+def _mask(h, w, y1, y2, x1, x2):
+    m = np.zeros((h, w), bool)
+    m[y1:y2, x1:x2] = True
+    return m
+
+
+def test_perfect_match_ap_one():
+    gt = [(_mask(20, 20, 2, 10, 2, 10), "car")]
+    pred = [(_mask(20, 20, 2, 10, 2, 10), "car", 0.9)]
+    res = evaluate_instances([(pred, gt)], ["car"])
+    assert res["car"] == pytest.approx(1.0)
+    assert res["AP"] == pytest.approx(1.0)
+    assert res["AP50"] == pytest.approx(1.0)
+
+
+def test_partial_overlap_counts_only_at_low_thresholds():
+    gt = [(_mask(20, 20, 0, 10, 0, 10), "car")]
+    # IoU = 64 / (100 + 64 + ... ) -> shift by 2: inter 8x8=64, union 136 -> 0.47
+    pred = [(_mask(20, 20, 2, 12, 2, 12), "car", 0.9)]
+    rec, cnt = match_instances(pred, gt, 0.4)
+    assert rec["car"][0][1] is True or rec["car"][0][1] == True  # noqa: E712
+    rec2, _ = match_instances(pred, gt, 0.5)
+    assert not rec2["car"][0][1]
+
+
+def test_duplicate_predictions_are_fp():
+    gt = [(_mask(20, 20, 2, 10, 2, 10), "car")]
+    pred = [
+        (_mask(20, 20, 2, 10, 2, 10), "car", 0.9),
+        (_mask(20, 20, 2, 10, 2, 10), "car", 0.8),
+    ]
+    rec, cnt = match_instances(pred, gt, 0.5)
+    flags = [tp for _, tp in rec["car"]]
+    assert flags.count(True) == 1 and flags.count(False) == 1
+    ap = average_precision(rec["car"], cnt["car"])
+    assert ap == pytest.approx(1.0)  # tp is the higher-confidence one
+
+
+def test_decode_instance_png():
+    img = np.zeros((10, 10), np.int32)
+    img[2:5, 2:5] = 26000  # car, instance 0
+    img[6:9, 6:9] = 26001  # car, instance 1
+    img[0, 0] = 7  # road (stuff)
+    inst = decode_instance_png(img, {26: "car", 7: "road"}, ["car"])
+    assert len(inst) == 2
+    assert all(name == "car" for _, name in inst)
+
+
+def test_boxes_and_seg_to_instances():
+    seg = np.zeros((8, 16), np.uint8)
+    seg[2:6, 2:10] = 13  # car trainId at quarter res
+    dets = np.array([[2, 0.9, 0.05, 0.2, 0.65, 0.8, 0.3]])  # det class 2 = car
+    inst = boxes_and_seg_to_instances(
+        dets, seg, {2: 13}, ["person", "rider", "car"], (32, 64)
+    )
+    assert len(inst) == 1
+    mask, name, conf = inst[0]
+    assert name == "car" and conf == pytest.approx(0.9)
+    assert mask.sum() > 0
