@@ -46,6 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--seg-normalize", default="null", choices=["null", "valid"])
+    p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
+                   help="model compute precision (f32 master weights either way)")
     p.add_argument("--loader", default="python", choices=["python", "native"],
                    help="host input pipeline: pure python or the C++ loader")
     p.add_argument("--loader-threads", type=int, default=8)
@@ -96,6 +98,7 @@ def main(argv=None):
         mesh=mesh,
         freeze_pattern=args.freeze or None,
         seg_normalize=args.seg_normalize,
+        compute_dtype=args.compute_dtype,
     )
     sample = jnp.zeros((args.batch_size, H, W, 3), jnp.float32)
     state = solver.init_state(jax.random.PRNGKey(233), sample)

@@ -240,15 +240,20 @@ class MultiTaskSolver:
         log_every: int = 20,
     ) -> TrainState:
         """Reference-style fit loop (multi_solver.py:182-353): per-batch train
-        step, periodic metric logging, per-epoch checkpoint callback."""
+        step, periodic metric logging, per-epoch checkpoint callback. Batches
+        are prefetched to device on a background thread so the step never
+        stalls on host->device transfer."""
+        from dspnet_tpu.data.prefetch import prefetch_to_device
+
+        sharding = None
+        if self.mesh is not None:
+            from dspnet_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(self.mesh)
         for epoch in range(num_epochs):
             agg: Dict[str, float] = {}
             n = 0
-            for batch in train_iter:
-                if self.mesh is not None:
-                    from dspnet_tpu.parallel.mesh import shard_batch
-
-                    batch = shard_batch(self.mesh, batch)
+            for batch in prefetch_to_device(train_iter, size=2, sharding=sharding):
                 state, metrics = self.train_step(state, batch)
                 n += 1
                 if n % log_every == 0:
