@@ -52,6 +52,7 @@ def create_model(
     data_shape,
     num_classes: int = 8,
     seg_classes: int = 19,
+    remat: bool = False,
 ) -> ModelBundle:
     """Build a model bundle.
 
@@ -66,10 +67,11 @@ def create_model(
     base, task = parse_network_name(network)
     cfg = factory.get_config(base, data_shape[0])
     if task == "ssd":
-        model = SSDNet(cfg=cfg, num_classes=num_classes)
+        model = SSDNet(cfg=cfg, num_classes=num_classes, remat=remat)
         anchors = factory.build_anchors(cfg, data_shape)
     else:
-        model = DSPNet(cfg=cfg, num_classes=num_classes, seg_classes=seg_classes, task=task)
+        model = DSPNet(cfg=cfg, num_classes=num_classes, seg_classes=seg_classes,
+                       task=task, remat=remat)
         anchors = (
             factory.build_anchors(cfg.drop_first_tap(), data_shape) if task != "seg" else None
         )

@@ -40,6 +40,7 @@ class DSPNet(nn.Module):
     seg_classes: int = 19
     task: str = "multi"
     loc_channels: int = 5
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> Dict[str, Any]:
@@ -50,7 +51,7 @@ class DSPNet(nn.Module):
                 "reference's seg/multi builders index from_layers[0:3], "
                 "multitask_symbol_builder.py:498-500)"
             )
-        plus = ResNet(cfg.num_layers, name="backbone")(images, train)
+        plus = ResNet(cfg.num_layers, remat=self.remat, name="backbone")(images, train)
         res3 = plus[tap_index(cfg.from_layers[0])]
         res4 = plus[tap_index(cfg.from_layers[1])]
         conv_feat = plus[tap_index(cfg.from_layers[2])]
@@ -88,12 +89,13 @@ class SSDNet(nn.Module):
     cfg: NetConfig
     num_classes: int = 20
     loc_channels: int = 4
+    remat: bool = False
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> Dict[str, Any]:
         cfg = self.cfg
         if cfg.network == "resnet":
-            plus = ResNet(cfg.num_layers, name="backbone")(images, train)
+            plus = ResNet(cfg.num_layers, remat=self.remat, name="backbone")(images, train)
             taps = [plus[tap_index(n)] for n in cfg.from_layers if n]
         elif cfg.network == "vgg16_reduced":
             td = VGG16Reduced(name="backbone")(images, train)

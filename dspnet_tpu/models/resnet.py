@@ -73,15 +73,24 @@ class ResidualUnit(nn.Module):
 
 class ResNet(nn.Module):
     """Backbone; ``__call__`` returns the list of residual-add outputs
-    (``plus_outputs[N]`` == the reference's ``_plusN`` internal)."""
+    (``plus_outputs[N]`` == the reference's ``_plusN`` internal).
+
+    ``remat=True`` rematerializes each residual unit in the backward pass
+    (jax.checkpoint) — trades ~30% extra FLOPs for O(depth) less activation
+    memory, the TPU-native answer to MXNet's ``memonger`` mirror option
+    (reference symbol/resnet.py:49-50,66-67).
+    """
 
     num_layers: int = 50
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> Sequence:
         units = UNITS[self.num_layers]
         filter_list = filters_for(self.num_layers)
         bottle_neck = self.num_layers >= 50
+        # the train flag is a python bool -> static for the checkpointed fn
+        Unit = nn.remat(ResidualUnit, static_argnums=(2,)) if self.remat else ResidualUnit
 
         x = BatchNorm(fix_gamma=True, name="bn_data")(x, train)
         x = conv(x, filter_list[0], 7, 2, 3, use_bias=False, name="conv0")
@@ -91,13 +100,13 @@ class ResNet(nn.Module):
         plus_outputs = []
         for i in range(4):
             stride = (1, 1) if i == 0 else (2, 2)
-            x = ResidualUnit(
+            x = Unit(
                 filter_list[i + 1], stride, False, bottle_neck,
                 name=f"stage{i + 1}_unit1",
             )(x, train)
             plus_outputs.append(x)
             for j in range(units[i] - 1):
-                x = ResidualUnit(
+                x = Unit(
                     filter_list[i + 1], (1, 1), True, bottle_neck,
                     name=f"stage{i + 1}_unit{j + 2}",
                 )(x, train)
