@@ -115,10 +115,23 @@ def main(argv=None):
         ckpt.save(begin + epoch, st)
         log.info("checkpoint saved: %s step %d", prefix, begin + epoch)
 
+    eval_iter = None
+    if args.eval_every > 0:
+        try:
+            val_index = resolve_dataset(args, "val")
+            eval_iter = MultiTaskIterator(
+                val_index, args.batch_size, (H, W), enable_aug=False, shuffle=False
+            )
+        except (FileNotFoundError, AssertionError):
+            log.info("no validation split found; skipping per-epoch eval")
+
     state = solver.fit(
         state,
         train_iter,
         num_epochs=args.end_epoch - begin,
+        eval_iter=eval_iter,
+        eval_every=args.eval_every,
+        data_shape=(H, W),
         log_fn=log.info,
         epoch_end_callback=epoch_cb,
         log_every=args.log_every,

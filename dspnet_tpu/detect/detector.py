@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import os
 import random
-from functools import partial
 from typing import List, Optional, Sequence, Tuple
 
 import cv2
@@ -62,12 +61,17 @@ class Detector:
         self.nms_topk = nms_topk
         self.score_threshold = score_threshold
         self.palette = train_id_palette()
-        self._predict = jax.jit(partial(self._forward))
+        # variables are an ARGUMENT of the jitted fn (not a closure constant)
+        # so updating weights (e.g. per-epoch validation) reuses the compile
+        self._predict = jax.jit(self._forward)
+
+    def update_variables(self, variables):
+        self.variables = variables
 
     # ------------------------------------------------------------- core
 
-    def _forward(self, images):
-        out = self.model.apply(self.variables, images, train=False)
+    def _forward(self, variables, images):
+        out = self.model.apply(variables, images, train=False)
         results = {}
         if "cls_logits" in out:
             cls_prob = jax.nn.softmax(out["cls_logits"], axis=-1)  # (B, A, C)
@@ -94,7 +98,7 @@ class Detector:
 
     def predict(self, images: np.ndarray):
         """images (B, H, W, 3) preprocessed float -> jitted forward results."""
-        return self._predict(jnp.asarray(images))
+        return self._predict(self.variables, jnp.asarray(images))
 
     def detect(self, images: np.ndarray, det_threshold: float = 0.0):
         """Returns (list of per-image (n, 7) arrays with id >= 0 and

@@ -229,12 +229,31 @@ class MultiTaskSolver:
             self._eval_step = self._build_eval_step()
         return self._eval_step(state, batch)
 
+    def make_detector(self, state: TrainState, data_shape, **kwargs):
+        """Detector over the current train state (weights hot-swappable via
+        update_variables without recompiling)."""
+        from dspnet_tpu.detect.detector import Detector
+
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return Detector(self.model, variables, np.asarray(self.anchors), data_shape, **kwargs)
+
+    @staticmethod
+    def detector_variables(state: TrainState):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return variables
+
     def fit(
         self,
         state: TrainState,
         train_iter,
         num_epochs: int = 1,
         eval_iter=None,
+        eval_every: int = 1,
+        data_shape=None,
         log_fn=print,
         epoch_end_callback=None,
         log_every: int = 20,
@@ -264,6 +283,18 @@ class MultiTaskSolver:
                 log_fn(f"epoch {epoch} done: " + ", ".join(f"{k}={v / n:.4f}" for k, v in agg.items()))
             if epoch_end_callback is not None:
                 epoch_end_callback(epoch, state)
+            # per-epoch validation pass (reference multi_solver.py:355-517)
+            if eval_iter is not None and (epoch + 1) % eval_every == 0:
+                from dspnet_tpu.evaluate.loop import evaluate_model
+
+                if not hasattr(self, "_val_detector"):
+                    assert data_shape is not None, "fit(eval_iter=...) needs data_shape"
+                    self._val_detector = self.make_detector(state, data_shape)
+                self._val_detector.update_variables(self.detector_variables(state))
+                results = evaluate_model(self._val_detector, eval_iter, log_fn=log_fn)
+                log_fn(f"epoch {epoch} validation: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in results.items()
+                    if isinstance(v, float) and k in ("mAP", "mIoU", "accuracy", "derror")))
             # (MultiTaskIterator reshuffles + resamples aug params in its own
             # __iter__; no explicit reset here or epochs would double-shuffle)
         return state
