@@ -47,33 +47,58 @@ from dspnet_tpu.ops import boxes as box_ops
 
 
 def _bipartite_match(iou, col_valid):
-    """Greedy global-argmax bipartite matching.
+    """Greedy global-argmax bipartite matching, computed in parallel rounds.
 
     iou: (A, L) IoU matrix; col_valid: (L,) bool for real GT columns.
     Returns (anchor_matched (A,) bool, match_gt (A,) int32, match_iou (A,) f32,
-    gt_matched (L,) bool). Ties resolve to the smallest flat (anchor, gt)
-    index, identical to the reference's row-major strictly-greater scan.
+    gt_matched (L,) bool).
+
+    Equivalence to the sequential greedy (the reference's row-major
+    strictly-greater scan, multibox_target.cc:113-149): each round every
+    unmatched GT proposes its best available anchor (first max = smallest
+    anchor index on ties), and every proposed anchor accepts its best
+    proposer (highest IoU, ties to the smallest GT index). An accepted pair
+    is exactly one the sequential greedy would emit: when the global max
+    pair is processed its GT wins its anchor, and removing (anchor, gt)
+    pairs never changes the proposals of GTs that won distinct anchors.
+    Rounds needed = length of the longest re-proposal chain (typically 2-3,
+    bounded by L) vs one sequential iteration per GT — an order of magnitude
+    fewer device round-trips than the literal loop.
     """
     num_anchors, num_labels = iou.shape
+    gt_range = jnp.arange(num_labels, dtype=jnp.int32)
+    big_gt = jnp.int32(num_labels + 7)
 
     def cond(state):
-        _, _, _, gt_matched, found = state
-        return found & jnp.any(col_valid & ~gt_matched)
+        _, _, _, gt_matched, progressed = state
+        return progressed & jnp.any(col_valid & ~gt_matched)
 
     def body(state):
         anchor_matched, match_gt, match_iou, gt_matched, _ = state
-        mask = (~anchor_matched)[:, None] & (col_valid & ~gt_matched)[None, :]
-        masked = jnp.where(mask, iou, -1.0)
-        flat = jnp.argmax(masked.reshape(-1))
-        best = masked.reshape(-1)[flat]
-        j = flat // num_labels
-        k = flat % num_labels
-        ok = best > 1e-6
-        anchor_matched = anchor_matched.at[j].set(jnp.where(ok, True, anchor_matched[j]))
-        match_gt = match_gt.at[j].set(jnp.where(ok, k.astype(jnp.int32), match_gt[j]))
-        match_iou = match_iou.at[j].set(jnp.where(ok, best, match_iou[j]))
-        gt_matched = gt_matched.at[k].set(jnp.where(ok, True, gt_matched[k]))
-        return anchor_matched, match_gt, match_iou, gt_matched, ok
+        avail = (~anchor_matched)[:, None] & (col_valid & ~gt_matched)[None, :]
+        masked = jnp.where(avail, iou, -1.0)
+        # proposals: per GT, first (= smallest index) max anchor
+        prop_v = jnp.max(masked, axis=0)  # (L,)
+        prop_a = jnp.argmax(masked, axis=0).astype(jnp.int32)
+        eligible = (prop_v > 1e-6) & col_valid & ~gt_matched
+        # per-anchor winner: highest IoU, ties -> smallest GT index
+        safe_a = jnp.where(eligible, prop_a, 0)
+        win_v = jnp.full((num_anchors,), -1.0, jnp.float32).at[safe_a].max(
+            jnp.where(eligible, prop_v, -1.0)
+        )
+        is_best = eligible & (prop_v == win_v[safe_a])
+        win_g = jnp.full((num_anchors,), big_gt, jnp.int32).at[safe_a].min(
+            jnp.where(is_best, gt_range, big_gt)
+        )
+        accepted = is_best & (win_g[safe_a] == gt_range)  # (L,)
+        progressed = jnp.any(accepted)
+        # scatter accepted pairs
+        upd_a = jnp.where(accepted, prop_a, num_anchors)  # OOB drops
+        anchor_matched = anchor_matched.at[upd_a].set(True, mode="drop")
+        match_gt = match_gt.at[upd_a].set(gt_range, mode="drop")
+        match_iou = match_iou.at[upd_a].set(prop_v, mode="drop")
+        gt_matched = gt_matched | accepted
+        return anchor_matched, match_gt, match_iou, gt_matched, progressed
 
     state = (
         jnp.zeros((num_anchors,), bool),
