@@ -24,6 +24,8 @@ def prefetch_to_device(iterable, size: int = 2, sharding=None) -> Iterator:
     _END = object()
 
     def put(batch):
+        if callable(sharding):
+            return sharding(batch)  # custom per-leaf placement
         if sharding is not None:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)

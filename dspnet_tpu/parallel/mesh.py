@@ -40,7 +40,27 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree onto the mesh, batch-sharded on axis 0."""
-    sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+def spatial_image_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) images: batch over 'data', width over 'model'.
+
+    XLA's SPMD partitioner handles the convolution halo exchanges
+    automatically, so sharding the W axis scales a single high-resolution
+    image across chips — the scale axis the reference could not touch
+    (SURVEY.md section 5, 'long-context N/A'). Verified bit-consistent with
+    the unsharded forward in tests/test_parallel.py."""
+    return NamedSharding(mesh, P("data", None, "model", None))
+
+
+def batch_shardings_for(mesh: Mesh, batch, spatial: bool = False):
+    """Per-leaf shardings for a batch dict: images optionally spatially
+    sharded, everything else batch-sharded."""
+    img = spatial_image_sharding(mesh) if spatial else batch_sharding(mesh)
+    other = batch_sharding(mesh)
+    return {k: (img if k == "images" else other) for k in batch}
+
+
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
+    """Place a host pytree onto the mesh, batch-sharded on axis 0 (images
+    additionally width-sharded over 'model' when ``spatial``)."""
+    shardings = batch_shardings_for(mesh, batch, spatial)
+    return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}

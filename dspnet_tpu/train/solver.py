@@ -82,10 +82,12 @@ class MultiTaskSolver:
         negative_mining_ratio: float = 3.0,
         negative_mining_thresh: float = 0.5,
         compute_dtype: str = "float32",
+        spatial: bool = False,
     ):
         self.model = model
         self.anchors = jnp.asarray(anchors, jnp.float32)
         self.mesh = mesh
+        self.spatial = spatial  # shard image width over the 'model' mesh axis
         self.freeze_pattern = freeze_pattern
         self.seg_grad_scale = seg_grad_scale
         self.seg_normalize = seg_normalize
@@ -199,8 +201,28 @@ class MultiTaskSolver:
             return new_state, metrics
 
         if self.mesh is not None:
+            from dspnet_tpu.parallel.mesh import spatial_image_sharding
+
             rep = NamedSharding(self.mesh, P())
             dat = NamedSharding(self.mesh, P("data"))
+            if self.spatial:
+                img = spatial_image_sharding(self.mesh)
+                batch_sh = {"images": img, "label_det": dat, "seg_label": dat}
+
+                def batch_sharding_tree(batch):
+                    return {k: batch_sh.get(k, dat) for k in batch}
+
+                # build per-call since the batch key set is data-dependent
+                def jitted(state, batch):
+                    f = jax.jit(
+                        step,
+                        in_shardings=(rep, batch_sharding_tree(batch)),
+                        out_shardings=(rep, rep),
+                        donate_argnums=(0,),
+                    )
+                    return f(state, batch)
+
+                return jitted
             # pytree-prefix shardings: state replicated, batch sharded on axis 0
             return jax.jit(
                 step,
@@ -266,9 +288,13 @@ class MultiTaskSolver:
 
         sharding = None
         if self.mesh is not None:
-            from dspnet_tpu.parallel.mesh import batch_sharding
+            from dspnet_tpu.parallel.mesh import batch_sharding, shard_batch
 
-            sharding = batch_sharding(self.mesh)
+            if self.spatial:
+                sharding = partial(shard_batch, self.mesh, spatial=True)
+            else:
+                sharding = batch_sharding(self.mesh)
+
         for epoch in range(num_epochs):
             agg: Dict[str, float] = {}
             n = 0

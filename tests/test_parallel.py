@@ -1,0 +1,50 @@
+"""Mesh parallelism tests: DP is covered in test_train; here spatial (width)
+sharding over the 'model' axis and the combined 2D mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dspnet_tpu.api import create_model
+from dspnet_tpu.parallel.mesh import (
+    batch_shardings_for,
+    make_mesh,
+    shard_batch,
+    spatial_image_sharding,
+)
+
+
+def test_spatial_sharding_matches_unsharded(rng):
+    bundle = create_model("resnet-18_multi", (128, 256), 8)
+    model = bundle.model
+    x = jnp.asarray(rng.randn(2, 128, 256, 3).astype(np.float32))
+    v = jax.jit(lambda r, xx: model.init(r, xx, train=False))(jax.random.PRNGKey(0), x)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    rep = NamedSharding(mesh, P())
+    spatial = spatial_image_sharding(mesh)
+    fwd = jax.jit(lambda v, xx: model.apply(v, xx, train=False),
+                  in_shardings=(rep, spatial), out_shardings=rep)
+    ref = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(v, x)
+    out = fwd(v, jax.device_put(x, spatial))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_shard_batch_spatial(rng):
+    mesh = make_mesh(n_data=2, n_model=4)
+    batch = {
+        "images": rng.randn(2, 64, 128, 3).astype(np.float32),
+        "label_det": np.full((2, 8, 6), -1.0, np.float32),
+    }
+    sharded = shard_batch(mesh, batch, spatial=True)
+    img_spec = sharded["images"].sharding.spec
+    assert tuple(img_spec) == ("data", None, "model", None)
+    lbl_spec = sharded["label_det"].sharding.spec
+    assert tuple(lbl_spec)[:1] == ("data",)
+    sh = batch_shardings_for(mesh, batch, spatial=False)
+    assert tuple(sh["images"].spec) == ("data",)
