@@ -19,6 +19,7 @@ import cv2
 import numpy as np
 
 from dspnet_tpu.data import augment as aug
+from dspnet_tpu.data import iterator as iterator_mod
 from dspnet_tpu.data.iterator import SampleIndex
 from dspnet_tpu.utils.config import cfg as default_cfg
 
@@ -111,8 +112,7 @@ class DetIterator:
         labels = np.full((B, self.max_objects, 6), -1.0, np.float32)
         for b in range(B):
             s = self.index[int(self.order[self.cursor])]
-            img = cv2.imread(s.image_path, cv2.IMREAD_COLOR)
-            assert img is not None, s.image_path
+            img, _ = iterator_mod.load_sample_arrays(s)
             label = s.label[:, :5].copy()
             if self.is_train:
                 img, label = self._augment(img, label)

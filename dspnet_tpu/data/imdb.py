@@ -25,7 +25,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from dspnet_tpu.data.iterator import Sample, SampleIndex
+from dspnet_tpu.data.iterator import LABEL_WIDTH, Sample, SampleIndex
 
 VOC_CLASSES = (
     "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
@@ -60,6 +60,43 @@ class Imdb:
                 flat = " ".join("%.4f" % v for v in rows.reshape(-1))
                 width = rows.shape[1] if rows.size else 6
                 f.write(f"{i}\t2\t{width}\t{flat}\t{s.image_path}\n")
+
+
+def load_imglist(fname: str, root: str = "", find_seg: bool = True) -> SampleIndex:
+    """Parse a `.lst` written by :meth:`Imdb.save_imglist` back into samples.
+
+    Inverse of the reference's lst contract (imdb.py:81-82): ``index \\t 2 \\t
+    label_width \\t labels... \\t path``. Image paths are joined to ``root``
+    when relative. When ``find_seg``, a sibling seg mask is looked up by the
+    DSPNet naming rule (JPEGImages/x_leftImg8bit.jpg ->
+    SegmentationClass/x_gtFine_labelTrainIds.png, the record-id -> seg-path
+    map of reference dataset/iterator.py:386-394).
+    """
+    samples = []
+    with open(fname) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 4:
+                continue
+            width = int(float(parts[2]))
+            vals = [float(v) for v in parts[3].split()] if parts[3] else []
+            rows = np.asarray(vals, np.float32).reshape(-1, width) if vals \
+                else np.zeros((0, LABEL_WIDTH), np.float32)
+            if width < LABEL_WIDTH:  # 5-wide VOC rows -> dist column 0
+                rows = np.concatenate(
+                    [rows, np.zeros((len(rows), LABEL_WIDTH - width), np.float32)], 1)
+            path = parts[-1]
+            if root and not os.path.isabs(path):
+                path = os.path.join(root, path)
+            seg = None
+            if find_seg:
+                cand = path.replace("JPEGImages", "SegmentationClass")
+                cand = os.path.splitext(
+                    cand.replace("leftImg8bit", "gtFine_labelTrainIds"))[0] + ".png"
+                if os.path.exists(cand):
+                    seg = cand
+            samples.append(Sample(path, SampleIndex.pad_label(rows[:, :LABEL_WIDTH]), seg))
+    return SampleIndex(samples)
 
 
 def _parse_voc_xml(xml_path: str, classes: Sequence[str], with_distance: bool):
@@ -246,8 +283,16 @@ class TestDB(Imdb):
 
 
 def load_index(root: str, split: str) -> SampleIndex:
-    """Auto-detect the dataset layout under ``root`` and return the split."""
+    """Auto-detect the dataset layout under ``root`` and return the split.
+
+    Packed record stores win: ``root`` may be a ``.drec`` file or a directory
+    holding ``{split}.drec`` (see dspnet_tpu/data/record.py)."""
     assert root, "--dataset-root (or --synthetic) required"
+    from dspnet_tpu.data import record
+
+    rec_prefix = record.record_prefix_at(root, split)
+    if rec_prefix is not None:
+        return record.load_record_index(rec_prefix)
     if os.path.exists(os.path.join(root, "ImageSets", "Main", split + ".txt")):
         if os.path.isdir(os.path.join(root, "SegmentationClass")):
             return CityscapesDetSeg(split, root).index()

@@ -37,6 +37,38 @@ class Sample:
     image_path: str
     label: np.ndarray  # (MAX_OBJECTS, 6) normalized [cls,x1,y1,x2,y2,dist], -1 padded
     seg_path: Optional[str] = None
+    # Record-backed storage (dspnet_tpu.data.record, the .rec/.idx equivalent):
+    # when set, encoded bytes are read from (store_path, offset, length) instead
+    # of image_path/seg_path, which then only carry the display/original names.
+    image_span: Optional[Tuple[str, int, int]] = None
+    seg_span: Optional[Tuple[str, int, int]] = None
+
+
+def read_span(span: Tuple[str, int, int]) -> np.ndarray:
+    """Read `length` bytes at `offset` of a record store as a uint8 array."""
+    path, offset, length = span
+    with open(path, "rb") as f:
+        f.seek(offset)
+        buf = f.read(length)
+    return np.frombuffer(buf, np.uint8)
+
+
+def load_sample_arrays(sample: Sample):
+    """Decode a sample's image (BGR) and optional seg mask, path- or span-backed."""
+    if sample.image_span is not None:
+        img = cv2.imdecode(read_span(sample.image_span), cv2.IMREAD_COLOR)
+        assert img is not None, sample.image_span
+    else:
+        img = cv2.imread(sample.image_path, cv2.IMREAD_COLOR)
+        assert img is not None, sample.image_path
+    seg = None
+    if sample.seg_span is not None:
+        seg = cv2.imdecode(read_span(sample.seg_span), cv2.IMREAD_UNCHANGED)
+        assert seg is not None, sample.seg_span
+    elif sample.seg_path is not None:
+        seg = cv2.imread(sample.seg_path, cv2.IMREAD_UNCHANGED)
+        assert seg is not None, sample.seg_path
+    return img, seg
 
 
 class SampleIndex:
@@ -114,12 +146,7 @@ class MultiTaskIterator:
             yield self.next_batch()
 
     def _load(self, sample: Sample):
-        img = cv2.imread(sample.image_path, cv2.IMREAD_COLOR)
-        assert img is not None, sample.image_path
-        seg = None
-        if sample.seg_path is not None:
-            seg = cv2.imread(sample.seg_path, cv2.IMREAD_UNCHANGED)
-            assert seg is not None, sample.seg_path
+        img, seg = load_sample_arrays(sample)
         return img, sample.label.copy(), seg
 
     def next_batch(self):

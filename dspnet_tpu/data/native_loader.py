@@ -35,6 +35,12 @@ def _load_lib():
     lib.dl_add_sample.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)
     ]
+    lib.dl_add_sample2.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.dl_start_epoch.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
         ctypes.c_int,
@@ -85,12 +91,24 @@ class NativeMultiTaskIterator:
         )
         for s in index.samples:
             lbl = np.ascontiguousarray(s.label, np.float32)
-            self.lib.dl_add_sample(
-                self.handle,
-                s.image_path.encode(),
-                s.seg_path.encode() if s.seg_path else None,
-                lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            )
+            lbl_p = lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            if s.image_span is not None or s.seg_span is not None:
+                # record-backed (.drec): the C++ workers fseek into the store
+                ipath, ioff, ilen = s.image_span or (s.image_path, 0, 0)
+                spath, soff, slen = s.seg_span or (s.seg_path, 0, 0)
+                self.lib.dl_add_sample2(
+                    self.handle,
+                    ipath.encode(), ioff, ilen,
+                    spath.encode() if spath else None, soff, slen,
+                    lbl_p,
+                )
+            else:
+                self.lib.dl_add_sample(
+                    self.handle,
+                    s.image_path.encode(),
+                    s.seg_path.encode() if s.seg_path else None,
+                    lbl_p,
+                )
         self.order = np.arange(self.num_samples, dtype=np.int32)
         if shuffle:
             self.rng.shuffle(self.order)

@@ -61,20 +61,40 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(err->jb, 1);
 }
 
-bool decode_jpeg(const std::string& path, Image* out) {
+// Read `len` bytes at `off` of `path` (len == 0: the whole file). Record
+// stores (.drec, dspnet_tpu/data/record.py) hand spans of one big file to the
+// workers — the sequential-IO benefit of the reference's .rec format
+// (tools/im2rec.py:137-140) without recompression.
+bool read_span(const std::string& path, uint64_t off, uint64_t len,
+               std::vector<uint8_t>* buf) {
   FILE* f = fopen(path.c_str(), "rb");
   if (!f) return false;
+  if (len == 0) {
+    fseeko(f, 0, SEEK_END);
+    len = ftello(f);
+    off = 0;
+  }
+  if (fseeko(f, off, SEEK_SET) != 0) {
+    fclose(f);
+    return false;
+  }
+  buf->resize(len);
+  size_t got = fread(buf->data(), 1, len, f);
+  fclose(f);
+  return got == len;
+}
+
+bool decode_jpeg_mem(const uint8_t* bytes, size_t len, Image* out) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
-    fclose(f);
     return false;
   }
   jpeg_create_decompress(&cinfo);
-  jpeg_stdio_src(&cinfo, f);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(bytes), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   jpeg_start_decompress(&cinfo);
@@ -88,21 +108,36 @@ bool decode_jpeg(const std::string& path, Image* out) {
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  fclose(f);
   return true;
 }
 
-bool decode_png_gray(const std::string& path, Image* out) {
-  FILE* f = fopen(path.c_str(), "rb");
-  if (!f) return false;
+bool decode_jpeg(const std::string& path, uint64_t off, uint64_t len, Image* out) {
+  std::vector<uint8_t> buf;
+  if (!read_span(path, off, len, &buf)) return false;
+  return decode_jpeg_mem(buf.data(), buf.size(), out);
+}
+
+struct PngMem {
+  const uint8_t* p;
+  size_t n, pos;
+};
+
+void png_mem_read(png_structp png, png_bytep dst, png_size_t n) {
+  PngMem* m = reinterpret_cast<PngMem*>(png_get_io_ptr(png));
+  if (m->pos + n > m->n) png_error(png, "png: read past end of buffer");
+  std::memcpy(dst, m->p + m->pos, n);
+  m->pos += n;
+}
+
+bool decode_png_gray_mem(const uint8_t* bytes, size_t len, Image* out) {
   png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   png_infop info = png_create_info_struct(png);
+  PngMem mem{bytes, len, 0};
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_read_struct(&png, &info, nullptr);
-    fclose(f);
     return false;
   }
-  png_init_io(png, f);
+  png_set_read_fn(png, &mem, png_mem_read);
   png_read_info(png, info);
   png_uint_32 w, h;
   int bit_depth, color_type;
@@ -120,8 +155,13 @@ bool decode_png_gray(const std::string& path, Image* out) {
   for (png_uint_32 y = 0; y < h; ++y) rows[y] = out->data.data() + size_t(y) * w;
   png_read_image(png, rows.data());
   png_destroy_read_struct(&png, &info, nullptr);
-  fclose(f);
   return true;
+}
+
+bool decode_png_gray(const std::string& path, uint64_t off, uint64_t len, Image* out) {
+  std::vector<uint8_t> buf;
+  if (!read_span(path, off, len, &buf)) return false;
+  return decode_png_gray_mem(buf.data(), buf.size(), out);
 }
 
 // ------------------------------------------------------------------- warp
@@ -184,6 +224,8 @@ void warp_nearest_gray(const Image& src, int oh, int ow, const double M[6],
 struct SampleDesc {
   std::string image_path;
   std::string seg_path;  // empty if none
+  // byte spans inside a record store (0,0 = the path is a plain file)
+  uint64_t img_off = 0, img_len = 0, seg_off = 0, seg_len = 0;
   float label[kMaxObjects * kLabelWidth];
 };
 
@@ -280,8 +322,9 @@ void filter_small_boxes(Loader* L, float* label) {
 void process_one(Loader* L, int cursor, int slot, Batch* batch) {
   const SampleDesc& s = L->samples[L->order[cursor]];
   Image img, seg;
-  bool has_img = decode_jpeg(s.image_path, &img);
-  bool has_seg = !s.seg_path.empty() && decode_png_gray(s.seg_path, &seg);
+  bool has_img = decode_jpeg(s.image_path, s.img_off, s.img_len, &img);
+  bool has_seg = !s.seg_path.empty() &&
+                 decode_png_gray(s.seg_path, s.seg_off, s.seg_len, &seg);
   int H = L->H, W = L->W;
   float* out_img = batch->images.data() + size_t(slot) * H * W * 3;
   float* out_lbl = batch->labels.data() + size_t(slot) * kMaxObjects * kLabelWidth;
@@ -409,6 +452,25 @@ void dl_add_sample(void* handle, const char* image_path, const char* seg_path,
   SampleDesc s;
   s.image_path = image_path;
   s.seg_path = seg_path ? seg_path : "";
+  std::memcpy(s.label, label, sizeof(s.label));
+  L->samples.push_back(std::move(s));
+}
+
+// Span-backed variant for packed .drec stores (dspnet_tpu/data/record.py):
+// the paths point at the store file, (off, len) at the encoded bytes.
+void dl_add_sample2(void* handle, const char* image_path,
+                    unsigned long long img_off, unsigned long long img_len,
+                    const char* seg_path,
+                    unsigned long long seg_off, unsigned long long seg_len,
+                    const float* label /* 200*6 */) {
+  Loader* L = (Loader*)handle;
+  SampleDesc s;
+  s.image_path = image_path;
+  s.seg_path = seg_path ? seg_path : "";
+  s.img_off = img_off;
+  s.img_len = img_len;
+  s.seg_off = seg_off;
+  s.seg_len = seg_len;
   std::memcpy(s.label, label, sizeof(s.label));
   L->samples.push_back(std::move(s));
 }

@@ -66,3 +66,28 @@ def test_speedometer_and_timer(caplog):
     with t:
         pass
     assert t.count == 1 and t.ms_per_step >= 0
+
+
+def test_voc_palette_roundtrip(tmp_path):
+    import cv2
+    import numpy as np
+    from dspnet_tpu.tools import voc_palette as vp
+
+    pal = vp.voc_palette()
+    # canonical VOC colors: background black, class 1 maroon, class 15 person
+    assert tuple(pal[0]) == (0, 0, 0)
+    assert tuple(pal[1]) == (128, 0, 0)
+    assert tuple(pal[15]) == (192, 128, 128)
+    idx = np.random.RandomState(0).randint(0, 21, (16, 24)).astype(np.uint8)
+    rgb = vp.index_to_palette(idx)
+    back = vp.palette_to_index(rgb)
+    np.testing.assert_array_equal(back, idx)
+    # unknown color -> 255 void
+    weird = np.full((2, 2, 3), (1, 2, 3), np.uint8)
+    assert (vp.palette_to_index(weird) == 255).all()
+    # CLI roundtrip through PNG files
+    src = str(tmp_path / "color.png")
+    dst = str(tmp_path / "index.png")
+    cv2.imwrite(src, rgb[:, :, ::-1])
+    vp.main([src, dst])
+    np.testing.assert_array_equal(cv2.imread(dst, cv2.IMREAD_GRAYSCALE), idx)
