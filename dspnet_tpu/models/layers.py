@@ -158,6 +158,22 @@ def avg_pool(x, kernel, stride, pad=(0, 0)):
     )
 
 
+def _bilinear_axis_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) align-corners bilinear interpolation matrix (trace-time
+    numpy constant): row d holds the two source weights for output d."""
+    W = np.zeros((dst, src), np.float32)
+    if dst == 1 or src == 1:
+        W[:, 0] = 1.0
+        return W
+    pos = np.arange(dst, dtype=np.float64) * ((src - 1) / (dst - 1))
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, src - 1)
+    hi = np.clip(lo + 1, 0, src - 1)
+    frac = (pos - lo).astype(np.float32)
+    np.add.at(W, (np.arange(dst), lo), 1.0 - frac)
+    np.add.at(W, (np.arange(dst), hi), frac)
+    return W
+
+
 def resize_bilinear_align_corners(x, target_hw: Sequence[int]):
     """Bilinear resize with align_corners=True on NHWC.
 
@@ -165,29 +181,24 @@ def resize_bilinear_align_corners(x, target_hw: Sequence[int]):
     BilinearSampler pair (multitask_symbol_builder.py:574-581): source
     coordinate ``x_src = (x_norm + 1) * (W_src - 1) / 2`` with the normalized
     grid hitting +-1 exactly at corner pixel centers.
+
+    TPU-first formulation: the interpolation is separable, so it runs as two
+    small dense matmuls (out = Wy @ x @ Wx^T) on the MXU instead of gather
+    chains — gathers materialize four full-size intermediates of the widest
+    stream (2048 channels in the PSP head), which made this op as expensive
+    as the whole backbone.
     """
     th, tw = int(target_hw[0]), int(target_hw[1])
     b, h, w, c = x.shape
     if (h, w) == (th, tw):
         return x
-
-    def axis_coords(src, dst):
-        if dst == 1:
-            return jnp.zeros((1,), jnp.float32)
-        return jnp.arange(dst, dtype=jnp.float32) * ((src - 1) / (dst - 1))
-
-    ys = axis_coords(h, th)
-    xs = axis_coords(w, tw)
-    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
-    y1 = jnp.clip(y0 + 1, 0, h - 1)
-    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
-    x1 = jnp.clip(x0 + 1, 0, w - 1)
-    wy = (ys - y0.astype(jnp.float32))[None, :, None, None]
-    wx = (xs - x0.astype(jnp.float32))[None, None, :, None]
-
-    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
-    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
-    return top * (1 - wy) + bot * wy
+    wy = jnp.asarray(_bilinear_axis_matrix(h, th), x.dtype)
+    wx = jnp.asarray(_bilinear_axis_matrix(w, tw), x.dtype)
+    # f32 accumulation on the MXU keeps bf16 inputs exact enough (each row
+    # has at most two nonzeros, so this is numerically a 2-term lerp)
+    out = jnp.einsum("hs,bswc->bhwc", wy, x, preferred_element_type=jnp.float32)
+    out = jnp.einsum("wt,bhtc->bhwc", wx, out, preferred_element_type=jnp.float32)
+    return out.astype(x.dtype)
 
 
 def bilinear_upsample_kernel(size: int, dtype=np.float32) -> np.ndarray:

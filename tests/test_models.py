@@ -75,3 +75,40 @@ def test_ssd_forward_matches_analytic_anchors(network, size, hw):
     A = factory.build_anchors(cfg, hw).shape[0]
     assert out["loc_preds"].shape == (1, A, 4)
     assert out["cls_logits"].shape == (1, A, 21)
+
+
+def test_resize_bilinear_align_corners_oracle():
+    """MXNet GridGenerator+BilinearSampler math (x_src=(x+1)(W-1)/2),
+    transcribed to numpy, vs the separable-matmul implementation."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dspnet_tpu.models.layers import resize_bilinear_align_corners
+
+    def oracle(x, th, tw):
+        b, h, w, c = x.shape
+        out = np.zeros((b, th, tw, c), np.float32)
+        for yd in range(th):
+            ys = 0.0 if th == 1 else yd * (h - 1) / (th - 1)
+            y0, fy = int(np.floor(ys)), ys - int(np.floor(ys))
+            y1 = min(y0 + 1, h - 1)
+            for xd in range(tw):
+                xs = 0.0 if tw == 1 else xd * (w - 1) / (tw - 1)
+                x0, fx = int(np.floor(xs)), xs - int(np.floor(xs))
+                x1 = min(x0 + 1, w - 1)
+                out[:, yd, xd] = (
+                    x[:, y0, x0] * (1 - fy) * (1 - fx) + x[:, y0, x1] * (1 - fy) * fx
+                    + x[:, y1, x0] * fy * (1 - fx) + x[:, y1, x1] * fy * fx
+                )
+        return out
+
+    rng = np.random.RandomState(0)
+    for (h, w), (th, tw) in [((4, 6), (16, 24)), ((16, 16), (5, 3)),
+                             ((1, 7), (4, 4)), ((8, 8), (8, 12))]:
+        x = rng.randn(2, h, w, 3).astype(np.float32)
+        got = np.asarray(resize_bilinear_align_corners(jnp.asarray(x), (th, tw)))
+        np.testing.assert_allclose(got, oracle(x, th, tw), rtol=1e-5, atol=1e-5)
+    # bf16 inputs stay close (2-term lerp with f32 accumulation)
+    x = rng.randn(1, 8, 8, 4).astype(np.float32)
+    got = np.asarray(resize_bilinear_align_corners(
+        jnp.asarray(x, jnp.bfloat16), (32, 32)).astype(jnp.float32))
+    np.testing.assert_allclose(got, oracle(x, 32, 32), rtol=2e-2, atol=2e-2)
