@@ -65,17 +65,22 @@ def main(argv=None):
              bundle.name, bundle.task, bundle.num_anchors, H, W)
 
     train_index = resolve_dataset(args, "train")
+    # multi-host: each host reads its rank::world slice of the global epoch
+    shard = (jax.process_index(), jax.process_count())
+    if shard != (0, 1):
+        log.info("input shard %d/%d", shard[0], shard[1])
     if args.loader == "native":
         from dspnet_tpu.data.native_loader import NativeMultiTaskIterator, native_available
 
         assert native_available(), "build it first: make -C native"
         train_iter = NativeMultiTaskIterator(
             train_index, args.batch_size, (H, W), enable_aug=True,
-            num_threads=args.loader_threads,
+            num_threads=args.loader_threads, shard=shard,
         )
         log.info("using native C++ loader (%d threads)", args.loader_threads)
     else:
-        train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W), enable_aug=True)
+        train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W),
+                                       enable_aug=True, shard=shard)
 
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)

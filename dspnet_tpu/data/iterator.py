@@ -97,6 +97,14 @@ class MultiTaskIterator:
 
     Args mirror the reference iterator: data_shape (H, W), mean_pixels RGB,
     enable_aug selects the augmented vs plain-resize path, seed 233 default.
+
+    ``shard=(rank, world)`` gives multi-host data parallelism: every host
+    draws the SAME global shuffle + augmentation tables (seed 233), then
+    walks the disjoint slice ``rank::world`` of the epoch, so the union of
+    all hosts' batches reproduces the single-host epoch sample-for-sample
+    (each sample keeps its globally-assigned aug row). The reference has no
+    multi-host story (SURVEY.md §2.7); this is the input-pipeline half of
+    pod-scale DP over DCN.
     """
 
     def __init__(
@@ -109,6 +117,7 @@ class MultiTaskIterator:
         seed: int = 233,
         apply_seg_lut: bool = True,
         shuffle: bool = True,
+        shard: Tuple[int, int] = (0, 1),
     ):
         self.index = index
         self.batch_size = batch_size
@@ -119,6 +128,11 @@ class MultiTaskIterator:
         self.rng = np.random.RandomState(seed)
         self.lut = seg_label_lut() if apply_seg_lut else None
         self.num_samples = len(index)
+        rank, world = shard
+        assert 0 <= rank < world, f"bad shard {shard}"
+        self.shard = (rank, world)
+        # epoch positions this host owns (indices into order/aug tables)
+        self.positions = np.arange(self.num_samples)[rank::world]
         self.order = np.arange(self.num_samples)
         if shuffle:
             self.rng.shuffle(self.order)
@@ -136,13 +150,13 @@ class MultiTaskIterator:
 
     def __iter__(self) -> Iterator:
         self.reset()
-        while self.cursor + self.batch_size <= self.num_samples:
+        while self.cursor + self.batch_size <= len(self.positions):
             yield self.next_batch()[0]
 
     def epoch(self) -> Iterator:
         """Like __iter__ but yields (batch, fnames) pairs (reference next())."""
         self.reset()
-        while self.cursor + self.batch_size <= self.num_samples:
+        while self.cursor + self.batch_size <= len(self.positions):
             yield self.next_batch()
 
     def _load(self, sample: Sample):
@@ -158,11 +172,12 @@ class MultiTaskIterator:
         has_seg = False
         fnames: List[str] = []
         for b in range(bs):
-            sample = self.index[int(self.order[self.cursor])]
+            pos = int(self.positions[self.cursor])
+            sample = self.index[int(self.order[pos])]
             img, label, seg = self._load(sample)
             if self.enable_aug:
                 img, label, seg = aug.augment_example(
-                    img, label, seg, self.aug_params[self.cursor], self.data_shape
+                    img, label, seg, self.aug_params[pos], self.data_shape
                 )
             else:
                 img, label, seg = aug.resize_example(img, label, seg, self.data_shape)

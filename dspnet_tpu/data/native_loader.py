@@ -74,6 +74,7 @@ class NativeMultiTaskIterator:
         num_threads: int = 8,
         queue_cap: int = 4,
         shuffle: bool = True,
+        shard: Tuple[int, int] = (0, 1),
     ):
         self.lib = _load_lib()
         self.batch_size = batch_size
@@ -109,6 +110,11 @@ class NativeMultiTaskIterator:
                     s.seg_path.encode() if s.seg_path else None,
                     lbl_p,
                 )
+        rank, world = shard
+        assert 0 <= rank < world, f"bad shard {shard}"
+        # same global tables on every host, host walks rank::world (see
+        # MultiTaskIterator.shard for the contract)
+        self.positions = np.arange(self.num_samples)[rank::world]
         self.order = np.arange(self.num_samples, dtype=np.int32)
         if shuffle:
             self.rng.shuffle(self.order)
@@ -116,13 +122,13 @@ class NativeMultiTaskIterator:
 
     def _start_epoch(self):
         self.aug_params = aug.sample_aug_params(self.num_samples, self.data_shape, self.rng)
-        order = np.ascontiguousarray(self.order, np.int32)
-        augp = np.ascontiguousarray(self.aug_params, np.float64)
+        order = np.ascontiguousarray(self.order[self.positions], np.int32)
+        augp = np.ascontiguousarray(self.aug_params[self.positions], np.float64)
         self.lib.dl_start_epoch(
             self.handle,
             order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             augp.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            self.num_samples,
+            len(self.positions),
         )
         self.num_batches = self.lib.dl_num_batches(self.handle)
         self._consumed = 0

@@ -157,3 +157,38 @@ def test_imdb_cityscapes_and_concat(tmp_path):
     db.save_imglist(lst)
     line = open(lst).read().strip().split("\t")
     assert line[1] == "2" and line[-1] == s.image_path
+
+
+def test_multihost_sharding_reproduces_global_epoch(tmp_path):
+    """shard=(r, w) slices the SAME deterministic epoch: with batch 1, shard
+    r's k-th batch equals the unsharded epoch's (k*w + r)-th batch exactly."""
+    from dspnet_tpu.data.iterator import MultiTaskIterator
+
+    index = synthetic.build_dataset(str(tmp_path), num_samples=6, hw=(64, 128))
+    kw = dict(batch_size=1, data_shape=(64, 128), enable_aug=True, shuffle=True)
+    ref = [b for b, _ in MultiTaskIterator(index, **kw).epoch()]
+    world = 2
+    for rank in range(world):
+        it = MultiTaskIterator(index, shard=(rank, world), **kw)
+        for k, (b, _) in enumerate(it.epoch()):
+            for key in b:
+                np.testing.assert_array_equal(b[key], ref[k * world + rank][key])
+
+
+def test_native_sharding_matches_python(tmp_path):
+    from dspnet_tpu.data.iterator import MultiTaskIterator
+    from dspnet_tpu.data.native_loader import NativeMultiTaskIterator, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native loader not built")
+    index = synthetic.build_dataset(str(tmp_path), num_samples=6, hw=(64, 128))
+    kw = dict(batch_size=1, data_shape=(64, 128), enable_aug=True, shuffle=True)
+    py_it = MultiTaskIterator(index, shard=(1, 2), **kw)
+    nat_it = NativeMultiTaskIterator(index, shard=(1, 2), num_threads=2, **kw)
+    for _ in range(3):
+        pb, _ = py_it.next_batch()
+        nb = nat_it.next_batch()
+        np.testing.assert_allclose(nb["label_det"], pb["label_det"], atol=2e-5)
+    nat_it.close()
