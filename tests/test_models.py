@@ -112,3 +112,25 @@ def test_resize_bilinear_align_corners_oracle():
     got = np.asarray(resize_bilinear_align_corners(
         jnp.asarray(x, jnp.bfloat16), (32, 32)).astype(jnp.float32))
     np.testing.assert_allclose(got, oracle(x, 32, 32), rtol=2e-2, atol=2e-2)
+
+
+def test_concat_conv_equals_conv_of_concat():
+    """_ConcatConv3x3 must equal nn.Conv over the channel concat exactly
+    (same single kernel parameter, distributed computation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import linen as nn
+    from dspnet_tpu.models.seg_head import _ConcatConv3x3
+
+    rng = jax.random.PRNGKey(0)
+    streams = [jax.random.normal(jax.random.PRNGKey(i), (2, 8, 8, c))
+               for i, c in enumerate([4, 8, 16])]
+    m = _ConcatConv3x3(5)
+    v = m.init(rng, streams)
+    assert v["params"]["kernel"].shape == (3, 3, 28, 5)
+    got = m.apply(v, streams)
+    ref_conv = nn.Conv(5, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)
+    ref = ref_conv.apply({"params": {"kernel": v["params"]["kernel"]}},
+                         jnp.concatenate(streams, axis=-1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
