@@ -182,6 +182,7 @@ class Detector:
         Video frames get the reference's extra host-side NMS pass at 0.95
         (multitask_detector.py:450). Returns written file paths.
         """
+        os.makedirs(out_dir, exist_ok=True)
         written = []
         if isinstance(inputs, (str, int)) and (
             isinstance(inputs, int) or inputs.endswith((".mp4", ".avi"))
