@@ -48,8 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--seg-normalize", default="null", choices=["null", "valid"])
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="model compute precision (f32 master weights either way)")
-    p.add_argument("--loader", default="python", choices=["python", "native"],
-                   help="host input pipeline: pure python or the C++ loader")
+    p.add_argument("--loader", default="python", choices=["python", "native", "device"],
+                   help="input pipeline: pure python, the native C++ loader, or "
+                        "on-device augmentation (host decodes raw uint8 only)")
     p.add_argument("--loader-threads", type=int, default=8)
     args = p.parse_args(argv)
     args.data_shape = parse_data_shape(args.data_shape)
@@ -78,6 +79,14 @@ def main(argv=None):
             num_threads=args.loader_threads, shard=shard,
         )
         log.info("using native C++ loader (%d threads)", args.loader_threads)
+    elif args.loader == "device":
+        from dspnet_tpu.data.device_pipeline import DeviceAugIterator
+
+        train_iter = DeviceAugIterator(
+            train_index, args.batch_size, (H, W), enable_aug=True, shard=shard,
+            num_threads=args.loader_threads,
+        )
+        log.info("using on-device augmentation pipeline")
     else:
         train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W),
                                        enable_aug=True, shard=shard)
