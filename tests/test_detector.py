@@ -60,3 +60,23 @@ def test_detector_single_and_visualize(tmp_path, detector):
     assert vis.shape == img.shape
     out = detector.detect_and_visualize(img_path, str(tmp_path))
     assert os.path.exists(out[0])
+
+
+def test_detector_video_path(tmp_path, detector):
+    """Video branch: mp4 in -> annotated mp4 out, with the second host NMS
+    pass at 0.95 (reference multitask_detector.py:433-456)."""
+    import cv2
+
+    rng = np.random.RandomState(0)
+    src = str(tmp_path / "in.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 25, (256, 128))
+    assert w.isOpened(), "mp4 codec unavailable"
+    for _ in range(3):
+        w.write(rng.randint(0, 255, (128, 256, 3)).astype(np.uint8))
+    w.release()
+    out_dir = str(tmp_path / "out")
+    written = detector.detect_and_visualize(src, out_dir, thresh=0.0)
+    assert written and os.path.exists(written[0])
+    cap = cv2.VideoCapture(written[0])
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
+    cap.release()
