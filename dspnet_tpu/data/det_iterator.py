@@ -112,7 +112,7 @@ class DetIterator:
         labels = np.full((B, self.max_objects, 6), -1.0, np.float32)
         for b in range(B):
             s = self.index[int(self.order[self.cursor])]
-            img, _ = iterator_mod.load_sample_arrays(s)
+            img, _ = iterator_mod.load_sample_arrays(s, with_seg=False)
             label = s.label[:, :5].copy()
             if self.is_train:
                 img, label = self._augment(img, label)

@@ -166,7 +166,10 @@ class DeviceAugIterator:
         self.lut = jnp.asarray(seg_label_lut().astype(np.int32))
         self.num_samples = len(index)
         rank, world = shard
-        self.positions = np.arange(self.num_samples)[rank::world]
+        assert 0 <= rank < world, f"bad shard {shard}"
+        # world-uniform count (see MultiTaskIterator.shard contract)
+        n_local = self.num_samples // world
+        self.positions = np.arange(self.num_samples)[rank::world][:n_local]
         self.order = np.arange(self.num_samples)
         if shuffle:
             self.rng.shuffle(self.order)
@@ -175,6 +178,7 @@ class DeviceAugIterator:
         self.num_threads = num_threads
         self.queue_cap = queue_cap
         self.raw_hw: Optional[Tuple[int, int]] = None
+        self._hw_lock = threading.Lock()
 
     def _resample_aug(self):
         self.aug_params = aug.sample_aug_params(
@@ -191,8 +195,9 @@ class DeviceAugIterator:
     def _load_raw(self, pos: int):
         sample = self.index[int(self.order[pos])]
         img, seg = load_sample_arrays(sample)
-        if self.raw_hw is None:
-            self.raw_hw = img.shape[:2]
+        with self._hw_lock:
+            if self.raw_hw is None:
+                self.raw_hw = img.shape[:2]
         assert img.shape[:2] == self.raw_hw, (
             f"mixed raw resolutions {img.shape[:2]} vs {self.raw_hw}; "
             "on-device augmentation batches raw images — resize offline or "
@@ -200,27 +205,24 @@ class DeviceAugIterator:
         return img, sample.label, seg, sample.image_path
 
     def _raw_batches(self) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+
         bs = self.batch_size
         n = len(self.positions)
-        for start in range(0, n - bs + 1, bs):
-            poss = self.positions[start:start + bs]
-            imgs, lbls, segs, names = [], [], [], []
-            for pos in poss:
-                img, lbl, seg, name = self._load_raw(int(pos))
-                imgs.append(img)
-                lbls.append(lbl)
-                segs.append(seg)
-                names.append(name)
-            raw = np.stack(imgs)
-            seg_arr = (np.stack(segs).astype(np.uint8)
-                       if all(s is not None for s in segs) else None)
-            yield {
-                "raw": raw,
-                "segs": seg_arr,
-                "labels": np.stack(lbls).astype(np.float32),
-                "params": self.aug_params[poss].astype(np.float32),
-                "names": names,
-            }
+        with ThreadPoolExecutor(self.num_threads) as pool:
+            for start in range(0, n - bs + 1, bs):
+                poss = self.positions[start:start + bs]
+                decoded = list(pool.map(lambda p: self._load_raw(int(p)), poss))
+                segs = [d[2] for d in decoded]
+                seg_arr = (np.stack(segs).astype(np.uint8)
+                           if all(s is not None for s in segs) else None)
+                yield {
+                    "raw": np.stack([d[0] for d in decoded]),
+                    "segs": seg_arr,
+                    "labels": np.stack([d[1] for d in decoded]).astype(np.float32),
+                    "params": self.aug_params[poss].astype(np.float32),
+                    "names": [d[3] for d in decoded],
+                }
 
     # ----------------------------------------------------------- device side
 
@@ -229,35 +231,53 @@ class DeviceAugIterator:
         self.reset()
         q: queue.Queue = queue.Queue(maxsize=self.queue_cap)
         _END = object()
+        stop = threading.Event()
+
+        def offer(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the epoch
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for raw in self._raw_batches():
-                    q.put(raw)
-                q.put(_END)
+                    if not offer(raw):
+                        return
+                offer(_END)
             except BaseException as e:  # surface decode errors to the consumer
-                q.put(e)
+                offer(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            batch = device_augment_batch(
-                jnp.asarray(item["raw"]),
-                None if item["segs"] is None else jnp.asarray(item["segs"]),
-                jnp.asarray(item["labels"]),
-                jnp.asarray(item["params"]),
-                self.lut,
-                self.data_shape,
-                enable_aug=self.enable_aug,
-                apply_lut=self.apply_seg_lut,
-                mean_pixels=self.mean_pixels,
-            )
-            yield batch, item["names"]
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                batch = device_augment_batch(
+                    jnp.asarray(item["raw"]),
+                    None if item["segs"] is None else jnp.asarray(item["segs"]),
+                    jnp.asarray(item["labels"]),
+                    jnp.asarray(item["params"]),
+                    self.lut,
+                    self.data_shape,
+                    enable_aug=self.enable_aug,
+                    apply_lut=self.apply_seg_lut,
+                    mean_pixels=self.mean_pixels,
+                )
+                yield batch, item["names"]
+        finally:
+            # abandoning the generator must not leave the producer blocked
+            # on a full queue holding ~100s of MB of decoded batches
+            stop.set()
+            t.join(timeout=5.0)
 
     def __iter__(self):
         for batch, _ in self.epoch():

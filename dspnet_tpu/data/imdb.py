@@ -90,11 +90,18 @@ def load_imglist(fname: str, root: str = "", find_seg: bool = True) -> SampleInd
                 path = os.path.join(root, path)
             seg = None
             if find_seg:
-                cand = path.replace("JPEGImages", "SegmentationClass")
-                cand = os.path.splitext(
-                    cand.replace("leftImg8bit", "gtFine_labelTrainIds"))[0] + ".png"
-                if os.path.exists(cand):
-                    seg = cand
+                # replace only in the basename (a directory component may
+                # also contain 'leftImg8bit' in the official layout)
+                d, b = os.path.split(path)
+                b = os.path.splitext(b)[0].replace(
+                    "leftImg8bit", "gtFine_labelTrainIds") + ".png"
+                for cand_dir in (d.replace("JPEGImages", "SegmentationClass"),
+                                 d.replace(os.sep + "leftImg8bit" + os.sep,
+                                           os.sep + "gtFine" + os.sep)):
+                    cand = os.path.join(cand_dir, b)
+                    if os.path.exists(cand):
+                        seg = cand
+                        break
             samples.append(Sample(path, SampleIndex.pad_label(rows[:, :LABEL_WIDTH]), seg))
     return SampleIndex(samples)
 

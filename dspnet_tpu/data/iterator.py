@@ -53,8 +53,10 @@ def read_span(span: Tuple[str, int, int]) -> np.ndarray:
     return np.frombuffer(buf, np.uint8)
 
 
-def load_sample_arrays(sample: Sample):
-    """Decode a sample's image (BGR) and optional seg mask, path- or span-backed."""
+def load_sample_arrays(sample: Sample, with_seg: bool = True):
+    """Decode a sample's image (BGR) and optional seg mask, path- or
+    span-backed. ``with_seg=False`` skips the mask decode entirely (the
+    det-only iterator never uses it)."""
     if sample.image_span is not None:
         img = cv2.imdecode(read_span(sample.image_span), cv2.IMREAD_COLOR)
         assert img is not None, sample.image_span
@@ -62,6 +64,8 @@ def load_sample_arrays(sample: Sample):
         img = cv2.imread(sample.image_path, cv2.IMREAD_COLOR)
         assert img is not None, sample.image_path
     seg = None
+    if not with_seg:
+        return img, seg
     if sample.seg_span is not None:
         seg = cv2.imdecode(read_span(sample.seg_span), cv2.IMREAD_UNCHANGED)
         assert seg is not None, sample.seg_span
@@ -131,8 +135,12 @@ class MultiTaskIterator:
         rank, world = shard
         assert 0 <= rank < world, f"bad shard {shard}"
         self.shard = (rank, world)
-        # epoch positions this host owns (indices into order/aug tables)
-        self.positions = np.arange(self.num_samples)[rank::world]
+        # epoch positions this host owns (indices into order/aug tables).
+        # Truncated to num_samples // world so EVERY host sees the same
+        # batch count — unequal counts would deadlock the pod when one host
+        # enters a collective for a step the others never run.
+        n_local = self.num_samples // world
+        self.positions = np.arange(self.num_samples)[rank::world][:n_local]
         self.order = np.arange(self.num_samples)
         if shuffle:
             self.rng.shuffle(self.order)

@@ -112,9 +112,10 @@ class NativeMultiTaskIterator:
                 )
         rank, world = shard
         assert 0 <= rank < world, f"bad shard {shard}"
-        # same global tables on every host, host walks rank::world (see
-        # MultiTaskIterator.shard for the contract)
-        self.positions = np.arange(self.num_samples)[rank::world]
+        # same global tables on every host, host walks rank::world, truncated
+        # to a world-uniform count (see MultiTaskIterator.shard contract)
+        n_local = self.num_samples // world
+        self.positions = np.arange(self.num_samples)[rank::world][:n_local]
         self.order = np.arange(self.num_samples, dtype=np.int32)
         if shuffle:
             self.rng.shuffle(self.order)

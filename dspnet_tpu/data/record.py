@@ -137,8 +137,16 @@ def load_record_index(prefix: str) -> SampleIndex:
 
 
 def record_prefix_at(root: str, split: str) -> Optional[str]:
-    """If ``root`` holds packed records for ``split``, return their prefix."""
+    """If ``root`` holds packed records for ``split``, return their prefix.
+
+    When ``root`` is a ``.drec`` file, a sibling ``{split}.drec`` wins (so
+    ``--dataset-root /data/train.drec`` still evaluates on ``val.drec``,
+    never silently on the training records); the named file itself is the
+    fallback only when no sibling split exists."""
     if root.endswith(".drec") and os.path.exists(root):
+        sibling = os.path.join(os.path.dirname(root), split)
+        if os.path.exists(sibling + ".drec"):
+            return sibling
         return root[: -len(".drec")]
     cand = os.path.join(root, split)
     if os.path.exists(cand + ".drec"):

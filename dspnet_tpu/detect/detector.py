@@ -115,6 +115,12 @@ class Detector:
         """raw (B, H, W, 3) uint8 BGR at data_shape -> jitted forward results."""
         return self._predict_raw(self.variables, jnp.asarray(raw_bgr))
 
+    @staticmethod
+    def _filter_rows(rows: np.ndarray, det_threshold: float) -> np.ndarray:
+        """Keep rows with id >= 0 (non-suppressed sentinel) and score >=
+        threshold (reference multitask_detector.py:268-271)."""
+        return rows[(rows[:, 0] >= 0) & (rows[:, 1] >= det_threshold)]
+
     def detect(self, images: np.ndarray, det_threshold: float = 0.0):
         """Returns (list of per-image (n, 7) arrays with id >= 0 and
         score >= det_threshold, seg maps (B, H/4, W/4) or None)."""
@@ -123,9 +129,7 @@ class Detector:
         if "det" in res:
             det = np.asarray(res["det"])
             for b in range(det.shape[0]):
-                rows = det[b]
-                keep = (rows[:, 0] >= 0) & (rows[:, 1] >= det_threshold)
-                dets_out.append(rows[keep])
+                dets_out.append(self._filter_rows(det[b], det_threshold))
         seg = np.asarray(res["seg"]) if "seg" in res else None
         return dets_out, seg
 
@@ -139,9 +143,7 @@ class Detector:
         res = self.predict_raw(raw[None])  # uint8 H2D + on-device normalize
         dets_out = np.zeros((0, 7), np.float32)
         if "det" in res:
-            rows = np.asarray(res["det"])[0]
-            keep = (rows[:, 0] >= 0) & (rows[:, 1] >= det_threshold)
-            dets_out = rows[keep]
+            dets_out = self._filter_rows(np.asarray(res["det"])[0], det_threshold)
         seg = np.asarray(res["seg"])[0] if "seg" in res else None
         return dets_out, seg
 

@@ -19,6 +19,7 @@ Contract: reference symbol/multitask_symbol_builder.py:541-589 —
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 
@@ -54,14 +55,18 @@ class _ConcatConv3x3(nn.Module):
         for s in streams:
             c = s.shape[-1]
             k = jax.lax.slice_in_dim(kernel, off, off + c, axis=2).astype(s.dtype)
+            # f32 conv outputs + f32 adds: a single nn.Conv over the concat
+            # rounds to the stream dtype ONCE, so the split must too — six
+            # bf16 roundings would drift the seg logits
             y = jax.lax.conv_general_dilated(
                 s, k, (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=jax.lax.conv_dimension_numbers(
                     s.shape, k.shape, dn),
+                preferred_element_type=jnp.float32,
             )
             out = y if out is None else out + y
             off += c
-        return out
+        return out.astype(streams[0].dtype)
 
 
 class SegHead(nn.Module):

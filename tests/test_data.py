@@ -192,3 +192,15 @@ def test_native_sharding_matches_python(tmp_path):
         nb = nat_it.next_batch()
         np.testing.assert_allclose(nb["label_det"], pb["label_det"], atol=2e-5)
     nat_it.close()
+
+
+def test_sharding_uniform_batch_count(tmp_path):
+    """Uneven splits must give every host the SAME batch count (a mismatch
+    deadlocks the pod at epoch end)."""
+    from dspnet_tpu.data.iterator import MultiTaskIterator
+
+    index = synthetic.build_dataset(str(tmp_path), num_samples=7, hw=(64, 128))
+    kw = dict(batch_size=2, data_shape=(64, 128), enable_aug=False, shuffle=False)
+    counts = {r: sum(1 for _ in MultiTaskIterator(index, shard=(r, 2), **kw))
+              for r in range(2)}
+    assert counts[0] == counts[1] == 1  # 7 // 2 = 3 local samples -> 1 batch

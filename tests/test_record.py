@@ -123,3 +123,20 @@ def test_repack_from_record_index(packed, tmp_path):
     from dspnet_tpu.data.iterator import read_span
 
     np.testing.assert_array_equal(read_span(s1.image_span), read_span(s2.image_span))
+
+
+def test_drec_root_respects_split(dataset, packed, tmp_path):
+    """--dataset-root pointing at train.drec must NOT serve the training
+    records for the val split when a sibling val.drec exists."""
+    import shutil
+
+    d = str(tmp_path / "store")
+    os.makedirs(d)
+    shutil.copy(packed + ".drec", os.path.join(d, "train.drec"))
+    shutil.copy(packed + ".idx", os.path.join(d, "train.idx"))
+    val_idx = SampleIndex([dataset[0], dataset[1]])
+    record.pack_records(val_idx, os.path.join(d, "val"), quiet=True)
+    got = load_index(os.path.join(d, "train.drec"), "val")
+    assert len(got) == 2  # the sibling val store, not the named train one
+    got_train = load_index(os.path.join(d, "train.drec"), "train")
+    assert len(got_train) == len(dataset)
