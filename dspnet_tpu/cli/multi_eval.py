@@ -40,6 +40,8 @@ def parse_args(argv=None):
     p.add_argument("--nms-thresh", type=float, default=0.45)
     p.add_argument("--det-score-thresh", type=float, default=0.1)
     p.add_argument("--write-results", default="", help="dir for Cityscapes result PNGs")
+    p.add_argument("--loader", default="python", choices=["python", "device"],
+                   help="val input pipeline: host cv2 or on-device resize/normalize")
     p.add_argument("--random-init", action="store_true",
                    help="skip checkpoint load (pipeline smoke testing)")
     args = p.parse_args(argv)
@@ -70,7 +72,16 @@ def main(argv=None):
     )
 
     index = resolve_dataset(args, "val")
-    it = MultiTaskIterator(index, args.batch_size, (H, W), enable_aug=False, shuffle=False)
+    if args.loader == "device":
+        from dspnet_tpu.data.device_pipeline import DeviceAugIterator
+
+        # host decodes raw uint8, resize + normalize run on device — batches
+        # arrive device-resident so predict() pays no f32 H2D per batch
+        it = DeviceAugIterator(index, args.batch_size, (H, W),
+                               enable_aug=False, shuffle=False)
+    else:
+        it = MultiTaskIterator(index, args.batch_size, (H, W),
+                               enable_aug=False, shuffle=False)
 
     return evaluate_model(
         detector,

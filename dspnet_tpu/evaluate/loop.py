@@ -59,11 +59,13 @@ def evaluate_model(
             timed += 1
         n_batches += 1
 
+        # batches may be device-resident (DeviceAugIterator); metric math is host numpy
+        label_det = np.asarray(batch["label_det"]) if "label_det" in batch else None
         if "det" in res:
             det = np.asarray(res["det"])
             labels, preds = [], []
             for b in range(det.shape[0]):
-                gt = batch["label_det"][b]
+                gt = label_det[b]
                 gt = gt[gt[:, 0] >= 0][:, :5]
                 rows = det[b]
                 rows = rows[(rows[:, 0] >= 0) & (rows[:, 1] > det_score_thresh)]
@@ -77,8 +79,9 @@ def evaluate_model(
             map_metric.update(labels, preds)
         if "seg" in res and "seg_label" in batch:
             seg_pred = np.asarray(res["seg"])
-            iou_metric.update(batch["seg_label"], seg_pred)
-            acc_metric.update(batch["seg_label"], seg_pred)
+            seg_gt = np.asarray(batch["seg_label"])
+            iou_metric.update(seg_gt, seg_pred)
+            acc_metric.update(seg_gt, seg_pred)
             if write_results:
                 from dspnet_tpu.evaluate.cityscapes_eval import write_result_png
 

@@ -55,15 +55,16 @@ class _ConcatConv3x3(nn.Module):
         for s in streams:
             c = s.shape[-1]
             k = jax.lax.slice_in_dim(kernel, off, off + c, axis=2).astype(s.dtype)
-            # f32 conv outputs + f32 adds: a single nn.Conv over the concat
-            # rounds to the stream dtype ONCE, so the split must too — six
-            # bf16 roundings would drift the seg logits
             y = jax.lax.conv_general_dilated(
                 s, k, (1, 1), [(1, 1), (1, 1)],
                 dimension_numbers=jax.lax.conv_dimension_numbers(
                     s.shape, k.shape, dn),
-                preferred_element_type=jnp.float32,
             )
+            # sum the partial outputs in f32 so bf16 mode accumulates like
+            # the single nn.Conv this replaces (per-conv accumulation is f32
+            # inside the MXU either way; preferred_element_type=f32 is not
+            # usable here — its VJP produces a mixed-dtype conv)
+            y = y.astype(jnp.float32)
             out = y if out is None else out + y
             off += c
         return out.astype(streams[0].dtype)

@@ -68,3 +68,14 @@ def test_demo_cli(workdir):
         "--out-dir", out_dir, "--vis-thresh", "0.01",
     ])
     assert glob.glob(os.path.join(out_dir, "*")), "demo wrote no output"
+
+
+def test_eval_cli_device_loader(workdir):
+    from dspnet_tpu.cli import multi_eval
+
+    res = multi_eval.main(NET + [
+        "--batch-size", "2", "--synthetic", "4",
+        "--synthetic-dir", str(workdir / "synth"),
+        "--model-dir", str(workdir / "model"), "--loader", "device",
+    ])
+    assert "ms_per_batch" in res
