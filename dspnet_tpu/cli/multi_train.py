@@ -52,6 +52,8 @@ def parse_args(argv=None):
                    help="input pipeline: pure python, the native C++ loader, or "
                         "on-device augmentation (host decodes raw uint8 only)")
     p.add_argument("--loader-threads", type=int, default=8)
+    p.add_argument("--target-backend", default="xla", choices=["xla", "pallas"],
+                   help="bipartite-matching backend for target assignment")
     args = p.parse_args(argv)
     args.data_shape = parse_data_shape(args.data_shape)
     return args
@@ -113,6 +115,7 @@ def main(argv=None):
         freeze_pattern=args.freeze or None,
         seg_normalize=args.seg_normalize,
         compute_dtype=args.compute_dtype,
+        target_backend=args.target_backend,
     )
     sample = jnp.zeros((args.batch_size, H, W, 3), jnp.float32)
     state = solver.init_state(jax.random.PRNGKey(233), sample)

@@ -120,8 +120,13 @@ def _target_single(
     negative_mining_thresh,
     ignore_label,
     variances,
+    phase1=None,
 ):
-    """Targets for one image. anchors (A,4), labels (L,6), cls_pred (C,A)."""
+    """Targets for one image. anchors (A,4), labels (L,6), cls_pred (C,A).
+
+    ``phase1``: optional precomputed greedy-bipartite results
+    (pos1, match_gt, match_iou) — supplied by the batched Pallas kernel
+    (ops/matching_pallas.py) when ``bipartite_backend='pallas'``."""
     num_anchors = anchors.shape[0]
     num_labels = labels.shape[0]
 
@@ -131,7 +136,10 @@ def _target_single(
 
     iou = box_ops.iou_matrix(anchors, labels[:, 1:5])  # (A, L)
 
-    pos1, match_gt, match_iou, _ = _bipartite_match(iou, col_valid)
+    if phase1 is None:
+        pos1, match_gt, match_iou, _ = _bipartite_match(iou, col_valid)
+    else:
+        pos1, match_gt, match_iou = phase1
 
     # Phase 2: per-anchor best GT for everything phase 1 left unmatched.
     masked_iou = jnp.where(col_valid[None, :], iou, -1.0)
@@ -185,6 +193,7 @@ def _target_single(
         "negative_mining_thresh",
         "minimum_negative_samples",
         "variances",
+        "bipartite_backend",
     ),
 )
 def multibox_target(
@@ -197,6 +206,7 @@ def multibox_target(
     negative_mining_thresh: float = 0.5,
     minimum_negative_samples: int = 0,  # accepted, unused (as in the reference)
     variances: tuple = box_ops.DEFAULT_VARIANCES,
+    bipartite_backend: str = "xla",
 ):
     """Batched MultiBoxTarget.
 
@@ -226,4 +236,17 @@ def multibox_target(
         ignore_label=ignore_label,
         variances=variances,
     )
+    if bipartite_backend == "pallas":
+        from dspnet_tpu.ops import matching_pallas
+
+        L = labels.shape[1]
+        ious = jax.vmap(lambda l: box_ops.iou_matrix(anchors, l[:, 1:5]))(labels)
+        is_pad = labels[:, :, 0] == -1.0
+        num_valid = jnp.where(jnp.any(is_pad, axis=1), jnp.argmax(is_pad, axis=1), L)
+        col_valid = jnp.arange(L)[None, :] < num_valid[:, None]
+        phase1 = matching_pallas.bipartite_match_pallas(
+            ious, col_valid, interpret=jax.default_backend() == "cpu")
+        return jax.vmap(
+            lambda l, c, m, g, i: fn(l, cls_pred=c, phase1=(m, g, i))
+        )(labels, cls_preds, *phase1)
     return jax.vmap(lambda l, c: fn(l, cls_pred=c))(labels, cls_preds)

@@ -33,3 +33,30 @@ def test_pallas_matching_matches_xla(rng, num_gt):
         # unmatched entries: ours -1, reference -1 as well
         np.testing.assert_array_equal(np.asarray(got_gt[b]), np.asarray(want_gt))
         np.testing.assert_allclose(np.asarray(got_iou[b]), np.asarray(want_iou), rtol=1e-6)
+
+
+def test_multibox_target_pallas_backend(rng):
+    """Full multibox_target equivalence: bipartite_backend pallas vs xla."""
+    from dspnet_tpu.ops.target import multibox_target
+
+    B, A, L, C = 2, 150, 16, 9
+    cx = rng.uniform(0.1, 0.9, (A,)); cy = rng.uniform(0.1, 0.9, (A,))
+    w = rng.uniform(0.05, 0.3, (A,)); h = rng.uniform(0.05, 0.3, (A,))
+    anchors = np.stack([cx - w/2, cy - h/2, cx + w/2, cy + h/2], -1).astype(np.float32)
+    labels = np.full((B, L, 6), -1.0, np.float32)
+    for b in range(B):
+        n = rng.randint(1, 6)
+        gx = rng.uniform(0.2, 0.8, n); gy = rng.uniform(0.2, 0.8, n)
+        gw = rng.uniform(0.1, 0.3, n); gh = rng.uniform(0.1, 0.3, n)
+        labels[b, :n] = np.stack([
+            rng.randint(0, 8, n).astype(np.float32),
+            gx - gw/2, gy - gh/2, gx + gw/2, gy + gh/2,
+            rng.uniform(0, 1, n)], -1)
+    cls_preds = rng.randn(B, C, A).astype(np.float32)
+
+    args = (jnp.asarray(anchors), jnp.asarray(labels), jnp.asarray(cls_preds))
+    kw = dict(overlap_threshold=0.5, negative_mining_ratio=3.0)
+    want = multibox_target(*args, **kw)
+    got = multibox_target(*args, bipartite_backend="pallas", **kw)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=1e-6)
