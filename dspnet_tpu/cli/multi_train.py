@@ -43,6 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic samples")
     p.add_argument("--synthetic-dir", default="/tmp/dspnet_synth")
     p.add_argument("--num-devices", type=int, default=0, help="0 = all")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="devices on the 'model' mesh axis (spatial image-width "
+                        "partitioning of activations); data axis gets the rest")
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--seg-normalize", default="null", choices=["null", "valid"])
@@ -95,10 +98,16 @@ def main(argv=None):
 
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)
-    mesh = make_mesh(n_data=n_dev, devices=devices) if n_dev > 1 else None
+    n_model = args.model_parallel
+    assert n_dev % n_model == 0, "--model-parallel must divide the device count"
+    n_data = n_dev // n_model
+    spatial = n_model > 1
+    mesh = (make_mesh(n_data=n_data, n_model=n_model, devices=devices)
+            if n_dev > 1 else None)
     if mesh is not None:
-        assert args.batch_size % n_dev == 0, "batch size must divide device count"
-        log.info("data-parallel over %d devices", n_dev)
+        assert args.batch_size % n_data == 0, "batch size must divide the data axis"
+        log.info("mesh: data=%d x model=%d%s", n_data, n_model,
+                 " (spatial width partitioning)" if spatial else "")
 
     base_lr, schedule = lr_scheduler_from_epochs(
         args.lr, args.lr_steps, args.lr_factor, len(train_index), args.batch_size,
@@ -116,6 +125,7 @@ def main(argv=None):
         seg_normalize=args.seg_normalize,
         compute_dtype=args.compute_dtype,
         target_backend=args.target_backend,
+        spatial=spatial,
     )
     sample = jnp.zeros((args.batch_size, H, W, 3), jnp.float32)
     state = solver.init_state(jax.random.PRNGKey(233), sample)

@@ -79,3 +79,16 @@ def test_eval_cli_device_loader(workdir):
         "--model-dir", str(workdir / "model"), "--loader", "device",
     ])
     assert "ms_per_batch" in res
+
+
+def test_train_spatial_mesh(workdir):
+    """--model-parallel 2: 2x2 mesh (dp x spatial width partitioning)."""
+    from dspnet_tpu.cli import multi_train
+
+    multi_train.main(NET + [
+        "--num-devices", "4", "--model-parallel", "2",
+        "--batch-size", "2", "--synthetic", "4",
+        "--synthetic-dir", str(workdir / "synth"),
+        "--end-epoch", "1", "--eval-every", "0",
+        "--model-dir", str(workdir / "model_sp"), "--seg-normalize", "valid",
+    ])
