@@ -17,3 +17,26 @@ Reference capability map: see SURVEY.md at the repo root.
 __version__ = "0.1.0"
 
 from dspnet_tpu.ops import anchors, boxes  # noqa: F401
+
+# lazy top-level API (avoids importing flax/cv2 for ops-only users)
+_LAZY = {
+    "create_model": ("dspnet_tpu.api", "create_model"),
+    "ModelBundle": ("dspnet_tpu.api", "ModelBundle"),
+    "Detector": ("dspnet_tpu.detect.detector", "Detector"),
+    "MultiTaskSolver": ("dspnet_tpu.train.solver", "MultiTaskSolver"),
+    "MultiTaskIterator": ("dspnet_tpu.data.iterator", "MultiTaskIterator"),
+    "evaluate_model": ("dspnet_tpu.evaluate.loop", "evaluate_model"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'dspnet_tpu' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_LAZY))
