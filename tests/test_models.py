@@ -134,3 +134,28 @@ def test_concat_conv_equals_conv_of_concat():
     ref = ref_conv.apply({"params": {"kernel": v["params"]["kernel"]}},
                          jnp.concatenate(streams, axis=-1))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_deconv2x_bilinear_init():
+    """Deconv2x: exact 2x output, bilinear-filter channel-diagonal init
+    (reference multi_init.py:13-21,160-168), constant-preserving interior."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from dspnet_tpu.models.layers import Deconv2x, bilinear_upsample_kernel
+
+    m = Deconv2x(2)
+    x = jnp.zeros((1, 5, 5, 2)).at[0, 2, 2, 0].set(1.0)
+    v = m.init(jax.random.PRNGKey(0), x)
+    y = np.asarray(m.apply(v, x))
+    assert y.shape == (1, 10, 10, 2)
+    # channel-diagonal: channel 1 sees nothing from channel 0's delta
+    assert np.allclose(y[..., 1], 0)
+    # the delta's footprint is exactly the 4x4 bilinear filter
+    filt = bilinear_upsample_kernel(4)
+    ys, xs = np.nonzero(y[0, :, :, 0])
+    sub = y[0, ys.min():ys.min() + 4, xs.min():xs.min() + 4, 0]
+    np.testing.assert_allclose(sub, filt, atol=1e-6)
+    # constant input -> constant interior (proper partition of unity)
+    yc = np.asarray(m.apply(v, jnp.ones((1, 6, 6, 2))))
+    np.testing.assert_allclose(yc[0, 2:-2, 2:-2], 1.0, atol=1e-6)
