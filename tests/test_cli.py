@@ -92,3 +92,19 @@ def test_train_spatial_mesh(workdir):
         "--end-epoch", "1", "--eval-every", "0",
         "--model-dir", str(workdir / "model_sp"), "--seg-normalize", "valid",
     ])
+
+
+@pytest.mark.parametrize("task_net", ["resnet-18_det", "resnet-18_seg"])
+def test_train_single_task(workdir, task_net):
+    """det-only / seg-only training paths (reference det_solver/seg_solver)."""
+    from dspnet_tpu.cli import multi_train
+
+    multi_train.main([
+        "--network", task_net, "--data-shape", "3,128,256",
+        "--num-classes", "8", "--num-devices", "2",
+        "--batch-size", "2", "--synthetic", "4",
+        "--synthetic-dir", str(workdir / "synth"),
+        "--end-epoch", "1", "--eval-every", "1",
+        "--model-dir", str(workdir / f"model_{task_net}"),
+        "--seg-normalize", "valid",
+    ])
