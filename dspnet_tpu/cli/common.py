@@ -42,6 +42,18 @@ def resolve_dataset(args, split: str):
     return load_index(args.dataset_root, split)
 
 
+def resolve_class_names(spec: str, default):
+    """--class-names: a file of one name per line (the reference's
+    dataset/names/*.txt contract, multi_train.py:141-143), a comma-separated
+    list, or '' for the default (Cityscapes 8 / VOC 20 per the model)."""
+    if not spec:
+        return list(default)
+    if os.path.exists(spec):
+        with open(spec) as f:
+            return [line.strip() for line in f if line.strip()]
+    return [c.strip() for c in spec.split(",") if c.strip()]
+
+
 def parse_data_shape(s):
     """'3,512,1024' or '512,1024' or '512' -> (H, W)."""
     parts = [int(x) for x in str(s).split(",")]

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dspnet_tpu.api import create_model
-from dspnet_tpu.cli.common import parse_data_shape
+from dspnet_tpu.cli.common import parse_data_shape, resolve_class_names
 from dspnet_tpu.data.cs_labels import DET_CLASSES
 from dspnet_tpu.detect.detector import Detector
 from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_prefix
@@ -26,6 +26,8 @@ def parse_args(argv=None):
     p.add_argument("--images", default="", help="comma-separated image paths or video")
     p.add_argument("--data-shape", default="3,512,1024")
     p.add_argument("--num-classes", type=int, default=8)
+    p.add_argument("--class-names", default="",
+                   help="names file (one per line) or comma list; default Cityscapes 8")
     p.add_argument("--epoch", type=int, default=-1)
     p.add_argument("--model-dir", default="model")
     p.add_argument("--out-dir", default=".")
@@ -53,7 +55,7 @@ def get_detector(args) -> Detector:
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     return Detector(
-        bundle.model, variables, bundle.anchors, (H, W), classes=list(DET_CLASSES),
+        bundle.model, variables, bundle.anchors, (H, W), classes=resolve_class_names(args.class_names, DET_CLASSES),
         nms_thresh=args.nms_thresh, force_suppress=args.force_suppress,
     )
 

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from dspnet_tpu.api import create_model
-from dspnet_tpu.cli.common import parse_data_shape, resolve_dataset, setup_logging
+from dspnet_tpu.cli.common import parse_data_shape, resolve_class_names, resolve_dataset, setup_logging
 from dspnet_tpu.data.cs_labels import DET_CLASSES
 from dspnet_tpu.data.iterator import MultiTaskIterator
 from dspnet_tpu.detect.detector import Detector
@@ -30,6 +30,8 @@ def parse_args(argv=None):
     p.add_argument("--network", default="resnet-50_multi")
     p.add_argument("--data-shape", default="3,512,1024")
     p.add_argument("--num-classes", type=int, default=8)
+    p.add_argument("--class-names", default="",
+                   help="names file (one per line) or comma list; default Cityscapes 8")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--epoch", type=int, default=-1, help="checkpoint epoch (-1 latest)")
     p.add_argument("--model-dir", default="model")
@@ -67,7 +69,7 @@ def main(argv=None):
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats
     detector = Detector(
-        bundle.model, variables, bundle.anchors, (H, W), classes=list(DET_CLASSES),
+        bundle.model, variables, bundle.anchors, (H, W), classes=resolve_class_names(args.class_names, DET_CLASSES),
         nms_thresh=args.nms_thresh, score_threshold=0.01,
     )
 
