@@ -81,3 +81,32 @@ def test_map_resnet_backbone_into_model(rng):
         np.asarray(merged_stats["backbone"]["bn0"]["BatchNorm_0"]["var"]),
         auxs["bn0_moving_var"],
     )
+
+
+def test_import_mxnet_cli(tmp_path, rng):
+    """Synthetic .params -> Orbax checkpoint -> multi_eval restores it."""
+    import glob
+
+    from dspnet_tpu.tools import import_mxnet
+    from dspnet_tpu.utils.mxnet_import import save_params
+
+    # synthesize a resnet-18 backbone checkpoint with the reference names
+    import jax
+    import jax.numpy as jnp
+    from dspnet_tpu.api import create_model
+
+    bundle = create_model("resnet-18_multi", (128, 256), num_classes=8)
+    v = jax.jit(lambda r, x: bundle.model.init(r, x, train=False))(
+        jax.random.PRNGKey(7), jnp.zeros((1, 128, 256, 3)))
+    # export just conv0 (enough to verify the merge path touches the tree)
+    conv0 = np.asarray(v["params"]["backbone"]["conv0"]["kernel"])  # HWIO
+    args_ = {"conv0_weight": np.transpose(conv0, (3, 2, 0, 1)) + 1.0}  # OIHW
+    params_file = str(tmp_path / "ref-0000.params")
+    save_params(params_file, args_, {})
+
+    import_mxnet.main([
+        "--params", params_file, "--network", "resnet-18_multi",
+        "--data-shape", "3,128,256", "--model-dir", str(tmp_path / "model"),
+        "--epoch", "0",
+    ])
+    assert glob.glob(str(tmp_path / "model" / "multitask_resnet-18_multi_128" / "*"))
