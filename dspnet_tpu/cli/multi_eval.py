@@ -90,6 +90,7 @@ def main(argv=None):
         it,
         det_score_thresh=args.det_score_thresh,
         overlap_thresh=args.overlap_thresh,
+        class_names=resolve_class_names(args.class_names, DET_CLASSES),
         write_results=args.write_results or None,
         log_fn=log.info,
     )

@@ -214,8 +214,16 @@ class DeviceAugIterator:
                 poss = self.positions[start:start + bs]
                 decoded = list(pool.map(lambda p: self._load_raw(int(p)), poss))
                 segs = [d[2] for d in decoded]
-                seg_arr = (np.stack(segs).astype(np.uint8)
-                           if all(s is not None for s in segs) else None)
+                # MultiTaskIterator contract: emit seg_label when ANY sample
+                # in the batch has a mask, zero-filling the rest (a batch-
+                # dependent key set would also retrigger jit compiles)
+                seg_arr = None
+                if any(s is not None for s in segs):
+                    hw = next(s.shape for s in segs if s is not None)
+                    seg_arr = np.stack([
+                        s if s is not None else np.zeros(hw, np.uint8)
+                        for s in segs
+                    ]).astype(np.uint8)
                 yield {
                     "raw": np.stack([d[0] for d in decoded]),
                     "segs": seg_arr,

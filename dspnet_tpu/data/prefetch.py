@@ -34,8 +34,9 @@ def prefetch_to_device(iterable, size: int = 2, sharding=None) -> Iterator:
         try:
             for batch in iterable:
                 q.put(put(batch))
-        finally:
             q.put(_END)
+        except BaseException as e:  # surface to the consumer, don't die silently
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -43,4 +44,6 @@ def prefetch_to_device(iterable, size: int = 2, sharding=None) -> Iterator:
         item = q.get()
         if item is _END:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -111,6 +111,19 @@ def _bipartite_match(iou, col_valid):
     return anchor_matched, match_gt, match_iou, gt_matched
 
 
+def _valid_columns(labels):
+    """Rows valid up to the first ``cls == -1`` (multibox_target.cc:96-105).
+
+    Single source of truth for the valid-GT rule — used per-image inside
+    _target_single and batched by the pallas dispatch in multibox_target."""
+    num_labels = labels.shape[-2]
+    is_pad = labels[..., 0] == -1.0
+    num_valid = jnp.where(
+        jnp.any(is_pad, axis=-1), jnp.argmax(is_pad, axis=-1), num_labels)
+    return jnp.arange(num_labels) < num_valid[..., None] if labels.ndim == 3 \
+        else jnp.arange(num_labels) < num_valid
+
+
 def _target_single(
     anchors,
     labels,
@@ -130,9 +143,8 @@ def _target_single(
     num_anchors = anchors.shape[0]
     num_labels = labels.shape[0]
 
-    is_pad = labels[:, 0] == -1.0
-    num_valid = jnp.where(jnp.any(is_pad), jnp.argmax(is_pad), num_labels).astype(jnp.int32)
-    col_valid = jnp.arange(num_labels) < num_valid
+    col_valid = _valid_columns(labels)
+    num_valid = jnp.sum(col_valid).astype(jnp.int32)
 
     iou = box_ops.iou_matrix(anchors, labels[:, 1:5])  # (A, L)
 
@@ -239,11 +251,10 @@ def multibox_target(
     if bipartite_backend == "pallas":
         from dspnet_tpu.ops import matching_pallas
 
-        L = labels.shape[1]
+        # the (A, L) IoU matrix is also built inside _target_single for
+        # phases 2-3; XLA CSE dedupes the two under jit
         ious = jax.vmap(lambda l: box_ops.iou_matrix(anchors, l[:, 1:5]))(labels)
-        is_pad = labels[:, :, 0] == -1.0
-        num_valid = jnp.where(jnp.any(is_pad, axis=1), jnp.argmax(is_pad, axis=1), L)
-        col_valid = jnp.arange(L)[None, :] < num_valid[:, None]
+        col_valid = _valid_columns(labels)
         phase1 = matching_pallas.bipartite_match_pallas(
             ious, col_valid, interpret=jax.default_backend() == "cpu")
         return jax.vmap(

@@ -46,16 +46,16 @@ def test_resume_continues(workdir):
     ])
 
 
-def test_eval_cli(workdir, capsys):
+def test_eval_cli(workdir):
     from dspnet_tpu.cli import multi_eval
 
-    multi_eval.main(NET + [
+    res = multi_eval.main(NET + [
         "--batch-size", "2", "--synthetic", "4",
         "--synthetic-dir", str(workdir / "synth"),
         "--model-dir", str(workdir / "model"),
     ])
-    out = capsys.readouterr().out
-    assert "mAP" in out or "mIoU" in out or True  # metrics logged via logging
+    for key in ("mAP", "mIoU", "accuracy", "ms_per_batch"):
+        assert key in res, f"missing metric {key}"
 
 
 def test_demo_cli(workdir):
