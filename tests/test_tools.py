@@ -86,3 +86,34 @@ def test_image_processing_roundtrip():
     out, scale = ip.rescale(im, 20, 100)
     assert min(out.shape[:2]) == 20 and scale == pytest.approx(0.5)
     assert ip.resize(im, (10, 15)).shape == (10, 15, 3)
+
+
+def test_export_serving_roundtrip(tmp_path):
+    """Export the serving pipeline with jax.export, reload it without model
+    code, and check outputs match the live pipeline exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from dspnet_tpu.api import create_model
+    from dspnet_tpu.tools.export_serving import build_serve_fn, export_bundle, load_bundle
+
+    H, W, B = 128, 256, 2
+    bundle = create_model("resnet-18_multi", (H, W), num_classes=8)
+    variables = jax.jit(lambda r, x: bundle.model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    out = str(tmp_path / "m.jaxexp")
+    export_bundle(bundle, variables, out, B, (H, W))
+    assert os.path.getsize(out) > 1000
+    import json
+
+    manifest = json.load(open(out + ".json"))
+    assert manifest["task"] == "multi" and manifest["batch_size"] == B
+
+    serve = load_bundle(out)
+    raw = (np.random.RandomState(0).randint(0, 255, (B, H, W, 3))).astype(np.uint8)
+    det, seg = serve(raw)
+    assert det.shape[0] == B and det.shape[2] == 7
+    assert seg.shape == (B, H // 4, W // 4)
+    want_det, want_seg = jax.jit(build_serve_fn(bundle, variables, (H, W)))(raw)
+    np.testing.assert_allclose(np.asarray(det), np.asarray(want_det), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(seg), np.asarray(want_seg))
