@@ -49,9 +49,15 @@ class Detector:
         force_suppress: bool = False,
         nms_topk: int = 400,
         score_threshold: float = 0.01,
+        mesh=None,
     ):
+        """``mesh``: a `jax.sharding.Mesh` with a 'data' axis — serving
+        batches shard over it (params replicated), scaling throughput
+        linearly with chip count over ICI. Batch size must divide the data
+        axis; single-chip behavior is unchanged when None."""
         self.model = model
         self.variables = variables
+        self.mesh = mesh
         self.anchors = jnp.asarray(anchors, jnp.float32)
         self.data_shape = tuple(data_shape)
         self.mean_pixels = mean_pixels
@@ -63,8 +69,16 @@ class Detector:
         self.palette = train_id_palette()
         # variables are an ARGUMENT of the jitted fn (not a closure constant)
         # so updating weights (e.g. per-epoch validation) reuses the compile
-        self._predict = jax.jit(self._forward)
-        self._predict_raw = jax.jit(self._forward_raw)
+        if mesh is not None:
+            from dspnet_tpu.parallel.mesh import batch_sharding, replicated
+
+            rep, dat = replicated(mesh), batch_sharding(mesh)
+            jit_kw = dict(in_shardings=(rep, dat), out_shardings=dat)
+            self._predict = jax.jit(self._forward, **jit_kw)
+            self._predict_raw = jax.jit(self._forward_raw, **jit_kw)
+        else:
+            self._predict = jax.jit(self._forward)
+            self._predict_raw = jax.jit(self._forward_raw)
 
     def update_variables(self, variables):
         self.variables = variables

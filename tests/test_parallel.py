@@ -48,3 +48,28 @@ def test_shard_batch_spatial(rng):
     assert tuple(lbl_spec)[:1] == ("data",)
     sh = batch_shardings_for(mesh, batch, spatial=False)
     assert tuple(sh["images"].spec) == ("data",)
+
+
+def test_detector_mesh_sharded_inference():
+    """Serving batches shard over the mesh 'data' axis; results match the
+    single-device detector exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dspnet_tpu.api import create_model
+    from dspnet_tpu.detect.detector import Detector
+    from dspnet_tpu.parallel.mesh import make_mesh
+
+    H, W = 128, 256
+    bundle = create_model("resnet-18_multi", (H, W), num_classes=8)
+    variables = jax.jit(lambda r, x: bundle.model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    mesh = make_mesh(n_data=4)
+    det_mesh = Detector(bundle.model, variables, bundle.anchors, (H, W), mesh=mesh)
+    det_one = Detector(bundle.model, variables, bundle.anchors, (H, W))
+    raw = np.random.RandomState(0).randint(0, 255, (4, H, W, 3)).astype(np.uint8)
+    rm = det_mesh.predict_raw(raw)
+    r1 = det_one.predict_raw(raw)
+    np.testing.assert_allclose(np.asarray(rm["det"]), np.asarray(r1["det"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(rm["seg"]), np.asarray(r1["seg"]))
