@@ -110,13 +110,35 @@ def evaluate_pairs(pairs: Iterable[Tuple[np.ndarray, np.ndarray]]) -> Dict:
 
 
 def write_result_png(seg_trainid: np.ndarray, out_path: str, full_hw=(1024, 2048)) -> str:
-    """trainId prediction (H/4-res) -> full-res labelId PNG
-    (reference multi_eval.py:355-362)."""
+    """trainId prediction (H/4-res) -> full-res labelId PNG.
+
+    Nearest upsampling of the argmax map — the cheap fallback when class
+    probabilities aren't available. The reference's exact semantics
+    (bilinear PROBABILITY upsampling before argmax, multi_eval.py:28-34,
+    355-362) live in :func:`write_result_png_from_probs`."""
     import cv2
 
     up = cv2.resize(
         seg_trainid.astype(np.uint8), (full_hw[1], full_hw[0]), interpolation=cv2.INTER_NEAREST
     )
     out = np.where(up <= 18, TRAINID_TO_LABELID[np.clip(up, 0, 18)], 0).astype(np.uint8)
+    cv2.imwrite(out_path, out)
+    return out_path
+
+
+def write_result_png_from_probs(seg_prob, out_path: str, full_hw=(1024, 2048)) -> str:
+    """(H/4, W/4, C) class probabilities -> full-res labelId PNG via bilinear
+    probability upsampling then argmax — the reference's prob_upsampling
+    (GridGenerator identity affine + BilinearSampler to full res then argmax,
+    multi_eval.py:28-34, 355-362). Smoother class boundaries than
+    nearest-upsampling the argmax map."""
+    import cv2
+    import jax.numpy as jnp
+
+    from dspnet_tpu.models.layers import resize_bilinear_align_corners
+
+    up = resize_bilinear_align_corners(jnp.asarray(seg_prob)[None], full_hw)[0]
+    cls = np.asarray(jnp.argmax(up, axis=-1)).astype(np.uint8)
+    out = np.where(cls <= 18, TRAINID_TO_LABELID[np.clip(cls, 0, 18)], 0).astype(np.uint8)
     cv2.imwrite(out_path, out)
     return out_path

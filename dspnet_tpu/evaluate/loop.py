@@ -83,12 +83,21 @@ def evaluate_model(
             iou_metric.update(seg_gt, seg_pred)
             acc_metric.update(seg_gt, seg_pred)
             if write_results:
-                from dspnet_tpu.evaluate.cityscapes_eval import write_result_png
+                from dspnet_tpu.evaluate.cityscapes_eval import (
+                    write_result_png,
+                    write_result_png_from_probs,
+                )
 
                 os.makedirs(write_results, exist_ok=True)
+                seg_prob = res.get("seg_prob")  # prefer the reference's
+                # bilinear probability upsampling (multi_eval.py:28-34)
                 for b in range(seg_pred.shape[0]):
                     name = os.path.splitext(os.path.basename(fnames[b]))[0] + "_pred.png"
-                    write_result_png(seg_pred[b], os.path.join(write_results, name))
+                    path = os.path.join(write_results, name)
+                    if seg_prob is not None:
+                        write_result_png_from_probs(seg_prob[b], path)
+                    else:
+                        write_result_png(seg_pred[b], path)
 
     results: Dict[str, float] = {}
     for metric in (map_metric, iou_metric, acc_metric, dist_metric):

@@ -131,3 +131,34 @@ def test_voc_eval_offline(tmp_path):
         "car",
     )
     assert ap == pytest.approx(1.0)
+
+
+def test_write_result_png_from_probs(tmp_path):
+    """Bilinear probability upsampling then argmax (reference prob_upsampling,
+    multi_eval.py:28-34) vs nearest-argmax: at a class boundary the prob path
+    places the transition where interpolated probabilities cross."""
+    import cv2
+
+    from dspnet_tpu.data.cs_labels import TRAINID_TO_LABELID
+    from dspnet_tpu.evaluate.cityscapes_eval import (
+        write_result_png,
+        write_result_png_from_probs,
+    )
+
+    h, w, c = 8, 16, 19
+    prob = np.zeros((h, w, c), np.float32)
+    prob[:, : w // 2, 1] = 1.0  # left half: class 1
+    prob[:, w // 2:, 2] = 1.0  # right half: class 2
+    p1 = str(tmp_path / "probs.png")
+    write_result_png_from_probs(prob, p1, full_hw=(32, 64))
+    out = cv2.imread(p1, cv2.IMREAD_GRAYSCALE)
+    assert out.shape == (32, 64)
+    # labelId mapping applied, both classes present
+    assert set(np.unique(out)) <= set(TRAINID_TO_LABELID.tolist())
+    assert (out == TRAINID_TO_LABELID[1]).any() and (out == TRAINID_TO_LABELID[2]).any()
+    # consistency with the argmax-map path away from the boundary
+    p2 = str(tmp_path / "nearest.png")
+    write_result_png(prob.argmax(-1).astype(np.uint8), p2, full_hw=(32, 64))
+    near = cv2.imread(p2, cv2.IMREAD_GRAYSCALE)
+    np.testing.assert_array_equal(out[:, :16], near[:, :16])
+    np.testing.assert_array_equal(out[:, -16:], near[:, -16:])
