@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from dspnet_tpu.api import create_model
 from dspnet_tpu.cli.common import parse_data_shape, resolve_class_names, resolve_dataset, setup_logging
-from dspnet_tpu.data.cs_labels import DET_CLASSES
+from dspnet_tpu.data.cs_labels import DET_CLASSES, SEG_CLASSES
 from dspnet_tpu.data.iterator import MultiTaskIterator
 from dspnet_tpu.detect.detector import Detector
 from dspnet_tpu.evaluate.loop import evaluate_model
@@ -42,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--nms-thresh", type=float, default=0.45)
     p.add_argument("--det-score-thresh", type=float, default=0.1)
     p.add_argument("--write-results", default="", help="dir for Cityscapes result PNGs")
+    p.add_argument("--dist-errors", default="",
+                   help="write per-box depth relative errors here (dist_errors.txt)")
+    p.add_argument("--seg-class-names", default="",
+                   help="seg names file or comma list; default Cityscapes 19")
     p.add_argument("--loader", default="python", choices=["python", "device"],
                    help="val input pipeline: host cv2 or on-device resize/normalize")
     p.add_argument("--random-init", action="store_true",
@@ -91,7 +95,9 @@ def main(argv=None):
         det_score_thresh=args.det_score_thresh,
         overlap_thresh=args.overlap_thresh,
         class_names=resolve_class_names(args.class_names, DET_CLASSES),
+        seg_class_names=resolve_class_names(args.seg_class_names, SEG_CLASSES),
         write_results=args.write_results or None,
+        dist_errors_path=args.dist_errors or None,
         log_fn=log.info,
     )
 

@@ -36,6 +36,7 @@ def evaluate_model(
     class_names=DET_CLASSES,
     seg_class_names=SEG_CLASSES,
     write_results: Optional[str] = None,
+    dist_errors_path: Optional[str] = None,
     log_fn=None,
 ) -> Dict[str, float]:
     """One pass over ``iterator`` computing mAP, mIoU, pixel accuracy, depth
@@ -98,6 +99,10 @@ def evaluate_model(
                         write_result_png_from_probs(seg_prob[b], path)
                     else:
                         write_result_png(seg_pred[b], path)
+
+    if dist_errors_path:
+        # per-box relative-error dump, percent (reference train/metric.py:259)
+        dist_metric.save_errors(dist_errors_path)
 
     results: Dict[str, float] = {}
     for metric in (map_metric, iou_metric, acc_metric, dist_metric):
