@@ -51,11 +51,9 @@ def get_detector(args) -> Detector:
     if not args.random_init:
         ckpt = CheckpointManagerWrapper(checkpoint_prefix(args.model_dir, args.network, H))
         state, _ = ckpt.restore(None if args.epoch < 0 else args.epoch, state)
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
     return Detector(
-        bundle.model, variables, bundle.anchors, (H, W), classes=resolve_class_names(args.class_names, DET_CLASSES),
+        bundle.model, MultiTaskSolver.detector_variables(state), bundle.anchors,
+        (H, W), classes=resolve_class_names(args.class_names, DET_CLASSES),
         nms_thresh=args.nms_thresh, force_suppress=args.force_suppress,
     )
 

@@ -69,11 +69,10 @@ def main(argv=None):
         state, epoch = ckpt.restore(None if args.epoch < 0 else args.epoch, state)
         log.info("loaded checkpoint epoch %d", epoch)
 
-    variables = {"params": state.params}
-    if state.batch_stats:
-        variables["batch_stats"] = state.batch_stats
+    class_names = resolve_class_names(args.class_names, DET_CLASSES)
     detector = Detector(
-        bundle.model, variables, bundle.anchors, (H, W), classes=resolve_class_names(args.class_names, DET_CLASSES),
+        bundle.model, MultiTaskSolver.detector_variables(state), bundle.anchors,
+        (H, W), classes=class_names,
         nms_thresh=args.nms_thresh, score_threshold=0.01,
     )
 
@@ -94,7 +93,7 @@ def main(argv=None):
         it,
         det_score_thresh=args.det_score_thresh,
         overlap_thresh=args.overlap_thresh,
-        class_names=resolve_class_names(args.class_names, DET_CLASSES),
+        class_names=class_names,
         seg_class_names=resolve_class_names(args.seg_class_names, SEG_CLASSES),
         write_results=args.write_results or None,
         dist_errors_path=args.dist_errors or None,

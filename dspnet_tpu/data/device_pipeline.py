@@ -38,6 +38,7 @@ from dspnet_tpu.data.iterator import (
     MAX_OBJECTS,
     SampleIndex,
     load_sample_arrays,
+    shard_positions,
 )
 
 
@@ -165,11 +166,7 @@ class DeviceAugIterator:
         self.rng = np.random.RandomState(seed)
         self.lut = jnp.asarray(seg_label_lut().astype(np.int32))
         self.num_samples = len(index)
-        rank, world = shard
-        assert 0 <= rank < world, f"bad shard {shard}"
-        # world-uniform count (see MultiTaskIterator.shard contract)
-        n_local = self.num_samples // world
-        self.positions = np.arange(self.num_samples)[rank::world][:n_local]
+        self.positions = shard_positions(self.num_samples, shard)
         self.order = np.arange(self.num_samples)
         if shuffle:
             self.rng.shuffle(self.order)

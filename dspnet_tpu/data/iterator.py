@@ -53,6 +53,18 @@ def read_span(span: Tuple[str, int, int]) -> np.ndarray:
     return np.frombuffer(buf, np.uint8)
 
 
+def shard_positions(num_samples: int, shard: Tuple[int, int]) -> np.ndarray:
+    """Epoch positions owned by host ``rank`` of ``world``.
+
+    Every host draws the same global shuffle/aug tables and walks its
+    ``rank::world`` slice, truncated to ``num_samples // world`` so ALL hosts
+    run the same batch count (unequal counts would deadlock the pod when one
+    host enters a collective for a step the others never run)."""
+    rank, world = shard
+    assert 0 <= rank < world, f"bad shard {shard}"
+    return np.arange(num_samples)[rank::world][: num_samples // world]
+
+
 def load_sample_arrays(sample: Sample, with_seg: bool = True):
     """Decode a sample's image (BGR) and optional seg mask, path- or
     span-backed. ``with_seg=False`` skips the mask decode entirely (the
@@ -132,15 +144,9 @@ class MultiTaskIterator:
         self.rng = np.random.RandomState(seed)
         self.lut = seg_label_lut() if apply_seg_lut else None
         self.num_samples = len(index)
-        rank, world = shard
-        assert 0 <= rank < world, f"bad shard {shard}"
-        self.shard = (rank, world)
-        # epoch positions this host owns (indices into order/aug tables).
-        # Truncated to num_samples // world so EVERY host sees the same
-        # batch count — unequal counts would deadlock the pod when one host
-        # enters a collective for a step the others never run.
-        n_local = self.num_samples // world
-        self.positions = np.arange(self.num_samples)[rank::world][:n_local]
+        self.shard = tuple(shard)
+        # epoch positions this host owns (indices into order/aug tables)
+        self.positions = shard_positions(self.num_samples, shard)
         self.order = np.arange(self.num_samples)
         if shuffle:
             self.rng.shuffle(self.order)

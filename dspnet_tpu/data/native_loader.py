@@ -20,7 +20,7 @@ import numpy as np
 
 from dspnet_tpu.data import augment as aug
 from dspnet_tpu.data.cs_labels import seg_label_lut
-from dspnet_tpu.data.iterator import LABEL_WIDTH, MAX_OBJECTS, SampleIndex
+from dspnet_tpu.data.iterator import LABEL_WIDTH, MAX_OBJECTS, SampleIndex, shard_positions
 
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libdspnet_data.so")
 
@@ -110,12 +110,7 @@ class NativeMultiTaskIterator:
                     s.seg_path.encode() if s.seg_path else None,
                     lbl_p,
                 )
-        rank, world = shard
-        assert 0 <= rank < world, f"bad shard {shard}"
-        # same global tables on every host, host walks rank::world, truncated
-        # to a world-uniform count (see MultiTaskIterator.shard contract)
-        n_local = self.num_samples // world
-        self.positions = np.arange(self.num_samples)[rank::world][:n_local]
+        self.positions = shard_positions(self.num_samples, shard)
         self.order = np.arange(self.num_samples, dtype=np.int32)
         if shuffle:
             self.rng.shuffle(self.order)

@@ -23,6 +23,18 @@ def dataset(tmp_path_factory):
     return synthetic.build_dataset(root, num_samples=6, hw=(64, 128))
 
 
+
+
+def _write_lst(dataset, path):
+    """Write a save_imglist-format .lst for `dataset` (test fixture helper)."""
+    with open(path, "w") as f:
+        for i in range(len(dataset)):
+            s = dataset[i]
+            rows = s.label[s.label[:, 0] >= 0]
+            flat = " ".join("%.6f" % v for v in rows.reshape(-1))
+            f.write(f"{i}\t2\t6\t{flat}\t{s.image_path}\n")
+
+
 @pytest.fixture(scope="module")
 def packed(dataset, tmp_path_factory):
     prefix = os.path.join(str(tmp_path_factory.mktemp("rec_store")), "train")
@@ -65,12 +77,7 @@ def test_load_index_autodetects_records(dataset, packed):
 def test_imglist_roundtrip_and_pack(dataset, tmp_path):
     """save_imglist -> load_imglist -> pack: the .lst leg of the pipeline."""
     lst = str(tmp_path / "train.lst")
-    with open(lst, "w") as f:
-        for i in range(len(dataset)):
-            s = dataset[i]
-            rows = s.label[s.label[:, 0] >= 0]
-            flat = " ".join("%.6f" % v for v in rows.reshape(-1))
-            f.write(f"{i}\t2\t6\t{flat}\t{s.image_path}\n")
+    _write_lst(dataset, lst)
     idx = load_imglist(lst)
     assert len(idx) == len(dataset)
     np.testing.assert_allclose(idx[0].label, dataset[0].label, atol=1e-5)
@@ -84,12 +91,7 @@ def test_im2rec_cli(dataset, tmp_path):
     from dspnet_tpu.tools import im2rec
 
     lst = str(tmp_path / "train.lst")
-    with open(lst, "w") as f:
-        for i in range(len(dataset)):
-            s = dataset[i]
-            rows = s.label[s.label[:, 0] >= 0]
-            flat = " ".join("%.6f" % v for v in rows.reshape(-1))
-            f.write(f"{i}\t2\t6\t{flat}\t{s.image_path}\n")
+    _write_lst(dataset, lst)
     out = str(tmp_path / "cli_train")
     im2rec.main(["--lst", lst, "--out", out])
     assert os.path.exists(out + ".drec") and os.path.exists(out + ".idx")
