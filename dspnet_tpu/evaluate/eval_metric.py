@@ -104,6 +104,12 @@ class MApMetric(EvalMetric):
                     continue
                 dets = pred[indices]
                 pred = np.delete(pred, indices, axis=0)
+                # Known deviation: the reference computes this descending
+                # score sort and DISCARDS it (eval_metric.py:126 — the
+                # result is never assigned), so its greedy matching runs
+                # in input order. We apply the sort, which is what the
+                # expression plainly intends; identical results whenever
+                # detections arrive score-sorted (multibox_detection does).
                 dets = dets[dets[:, 1].argsort()[::-1]]
                 records = np.hstack(
                     (dets[:, 1][:, np.newaxis], np.zeros((dets.shape[0], 1)))
@@ -347,7 +353,11 @@ class DistanceAccuracyMetric(EvalMetric):
             roi = np.sort(disparity[ymin:ymax, xmin:xmax].reshape(-1).astype(np.float32))
             if roi.shape[0] == 0:
                 continue
-            dist = 2200.0 * 75.0 / (roi[int(math.ceil(roi.shape[0] / 2))] + 1e-3)
+            # reference train/metric.py:222 is Python-2: `/` is integer
+            # division there, so ceil(n / 2) == n // 2 (NOT ceil(n/2) —
+            # true division would crash on 1-pixel ROIs and shift the
+            # median element for every odd-size ROI)
+            dist = 2200.0 * 75.0 / (roi[roi.shape[0] // 2] + 1e-3)
             if dist > 1000:
                 dist = 200
             if dist > 199:

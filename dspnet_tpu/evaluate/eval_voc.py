@@ -11,10 +11,16 @@ from __future__ import annotations
 import os
 import xml.etree.ElementTree as ET
 
+import functools as _functools
 import numpy as np
 
 
+@_functools.lru_cache(maxsize=None)
 def parse_rec(xml_path: str):
+    # cached: per-class voc_eval calls re-read the same split's XMLs; the
+    # reference caches the parsed dict once per split instead
+    # (evaluate/eval_voc.py:81-95, annotations.pkl). Callers must not mutate
+    # the returned list.
     tree = ET.parse(xml_path)
     objects = []
     for obj in tree.findall("object"):

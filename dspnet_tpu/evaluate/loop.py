@@ -10,7 +10,6 @@ from typing import Dict, Optional
 
 import numpy as np
 
-import jax
 
 from dspnet_tpu.data.cs_labels import DET_CLASSES, SEG_CLASSES
 from dspnet_tpu.evaluate.eval_metric import (
@@ -54,7 +53,9 @@ def evaluate_model(
     for batch, fnames in iterator.epoch():
         t0 = time.time()
         res = detector.predict(batch["images"])
-        jax.block_until_ready(res)
+        # force completion with a host transfer — block_until_ready is
+        # unreliable on the axon remote backend (see CLAUDE.md timing notes)
+        res = {k: np.asarray(v) for k, v in res.items()}
         if n_batches > 0:
             total_ms += (time.time() - t0) * 1000.0
             timed += 1
@@ -108,8 +109,12 @@ def evaluate_model(
     for metric in (map_metric, iou_metric, acc_metric, dist_metric):
         try:
             results.update(metric.get_dict())
-        except Exception:
-            pass
+        except Exception:  # a broken metric must not abort the others,
+            import logging  # but silence would read as "not computed"
+
+            logging.getLogger(__name__).exception(
+                "metric %s failed; its keys are missing from the results",
+                type(metric).__name__)
     results["ms_per_batch"] = total_ms / max(timed, 1)
     if log_fn:
         for k in ("mAP", "mIoU", "accuracy", "derror", "ms_per_batch"):

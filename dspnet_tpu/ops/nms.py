@@ -19,9 +19,11 @@ import jax.numpy as jnp
 def nms(dets: np.ndarray, thresh: float) -> list[int]:
     """Greedy NMS (host / numpy). Returns kept row indices.
 
-    Matches reference detect/nms.py:24-58 and cython/cpu_nms.pyx:17-68:
-    descending-score order (numpy argsort reversed), ``+1`` pixel areas,
-    suppression at ``overlap >= thresh``.
+    Matches reference detect/nms.py:24-58: descending-score order (numpy
+    argsort reversed), ``+1`` pixel areas, boxes KEPT at ``overlap <= thresh``
+    (suppression strictly ``>``). Note the reference's cython/cpu_nms.pyx:17-68
+    differs at the exact-threshold boundary (it suppresses at ``>=``); we pin
+    the detect/nms.py convention, which is the one its demo paths call.
     """
     dets = np.asarray(dets, dtype=np.float32)
     if dets.size == 0:
@@ -67,7 +69,8 @@ def nms_jax(dets, thresh: float):
     inter = iw * ih
     ovr = inter / (sarea[:, None] + sarea[None, :] - inter)
     row = jnp.arange(n)
-    suppress = (row[:, None] < row[None, :]) & (ovr >= thresh)
+    # strictly > matches nms() / detect/nms.py (keep ties at exactly thresh)
+    suppress = (row[:, None] < row[None, :]) & (ovr > thresh)
 
     def cond(state):
         return state[1]

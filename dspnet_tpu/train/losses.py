@@ -87,7 +87,9 @@ def multitask_loss(
     """
     metrics = {}
     total = 0.0
-    if "cls_logits" in outputs:
+    # cls_target is None when the batch carries no label_det (e.g. a multi
+    # model fed seg-only data) — skip the detection losses cleanly
+    if "cls_logits" in outputs and cls_target is not None:
         cls_l, valid_count = cls_loss_valid(outputs["cls_logits"], cls_target)
         loc_l, loc_sum = loc_loss_valid(outputs["loc_preds"], loc_target, loc_mask)
         total = total + cls_l + loc_l

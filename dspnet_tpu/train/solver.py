@@ -204,26 +204,29 @@ class MultiTaskSolver:
             return new_state, metrics
 
         if self.mesh is not None:
-            from dspnet_tpu.parallel.mesh import spatial_image_sharding
-
             rep = NamedSharding(self.mesh, P())
             dat = NamedSharding(self.mesh, P("data"))
             if self.spatial:
-                img = spatial_image_sharding(self.mesh)
-                batch_sh = {"images": img, "label_det": dat, "seg_label": dat}
+                from dspnet_tpu.parallel.mesh import batch_shardings_for
 
-                def batch_sharding_tree(batch):
-                    return {k: batch_sh.get(k, dat) for k in batch}
+                # the batch key set decides the sharding tree, so memoize one
+                # jitted wrapper per key set — a fresh jax.jit per call would
+                # retrace the whole train graph every step
+                cache: Dict[frozenset, Any] = {}
 
-                # build per-call since the batch key set is data-dependent
                 def jitted(state, batch):
-                    f = jax.jit(
-                        step,
-                        in_shardings=(rep, batch_sharding_tree(batch)),
-                        out_shardings=(rep, rep),
-                        donate_argnums=(0,),
-                    )
-                    return f(state, batch)
+                    key = frozenset(batch)
+                    if key not in cache:
+                        cache[key] = jax.jit(
+                            step,
+                            in_shardings=(
+                                rep,
+                                batch_shardings_for(self.mesh, batch, spatial=True),
+                            ),
+                            out_shardings=(rep, rep),
+                            donate_argnums=(0,),
+                        )
+                    return cache[key](state, batch)
 
                 return jitted
             # pytree-prefix shardings: state replicated, batch sharded on axis 0
@@ -299,17 +302,20 @@ class MultiTaskSolver:
                 sharding = batch_sharding(self.mesh)
 
         for epoch in range(num_epochs):
-            agg: Dict[str, float] = {}
+            agg: Dict[str, Any] = {}
             n = 0
             for batch in prefetch_to_device(train_iter, size=2, sharding=sharding):
                 state, metrics = self.train_step(state, batch)
                 n += 1
+                # accumulate ON DEVICE — float() here would sync the host
+                # every step and serialize dispatch with device compute
+                agg = {k: agg.get(k, 0.0) + v for k, v in metrics.items()}
                 if n % log_every == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    m = {k: float(v) for k, v in metrics.items()}  # sync point
                     log_fn(f"epoch {epoch} batch {n}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
-                agg = {k: agg.get(k, 0.0) + float(v) for k, v in metrics.items()}
             if n:
-                log_fn(f"epoch {epoch} done: " + ", ".join(f"{k}={v / n:.4f}" for k, v in agg.items()))
+                log_fn(f"epoch {epoch} done: " + ", ".join(
+                    f"{k}={float(v) / n:.4f}" for k, v in agg.items()))
             if epoch_end_callback is not None:
                 epoch_end_callback(epoch, state)
             # per-epoch validation pass (reference multi_solver.py:355-517)
