@@ -141,15 +141,18 @@ class PascalVoc(Imdb):
                  classes: Sequence[str] = VOC_CLASSES, use_difficult: bool = False):
         super().__init__(f"voc_{year}_{image_set}", classes)
         self.root = os.path.join(root, f"VOC{year}")
+        self.year = year
         self.image_set = image_set
         self.use_difficult = use_difficult
 
-    def samples(self) -> List[Sample]:
+    def split_ids(self) -> List[str]:
         lst = os.path.join(self.root, "ImageSets", "Main", self.image_set + ".txt")
         with open(lst) as f:
-            ids = [line.strip().split()[0] for line in f if line.strip()]
+            return [line.strip().split()[0] for line in f if line.strip()]
+
+    def samples(self) -> List[Sample]:
         out = []
-        for iid in ids:
+        for iid in self.split_ids():
             xml = os.path.join(self.root, "Annotations", iid + ".xml")
             img = os.path.join(self.root, "JPEGImages", iid + ".jpg")
             rows = _parse_voc_xml(xml, self.classes, with_distance=False)
@@ -157,6 +160,92 @@ class PascalVoc(Imdb):
                 rows = rows[rows[:, 6] < 1]
             out.append(Sample(img, SampleIndex.pad_label(rows[:, :6])))
         return out
+
+    # --- offline file-based VOCdevkit evaluation -------------------------
+    # Capability of reference dataset/pascal_voc.py:170-259 (the
+    # Imdb.evaluate_detections entry consumed by evaluate/evaluate_net.py):
+    # write per-class devkit result files, then score them with voc_eval.
+
+    def _image_size(self, iid: str):
+        """(height, width) from the annotation XML <size> — the reference
+        decodes the JPEG for this (pascal_voc.py:258-267); the XML already
+        carries it."""
+        size = ET.parse(
+            os.path.join(self.root, "Annotations", iid + ".xml")).find("size")
+        return float(size.find("height").text), float(size.find("width").text)
+
+    def get_result_file_template(self, result_dir: str) -> str:
+        """VOCdevkit results/VOC{year}/Main/comp4_det_{set}_{cls}.txt
+        (pascal_voc.py:195-208, comp_id config default 'comp4')."""
+        return os.path.join(result_dir, f"comp4_det_{self.image_set}_" + "{}.txt")
+
+    def write_pascal_results(self, all_boxes, result_dir: str):
+        """Write one devkit result file per class (pascal_voc.py:210-236).
+
+        ``all_boxes``: one (n, 6) array per split image, rows
+        ``[cls_id, score, x1, y1, x2, y2]`` with coordinates normalized to
+        [0, 1] (the detector row contract). Written as 1-based pixel
+        coordinates, matching the devkit convention (pascal_voc.py:233).
+        """
+        os.makedirs(result_dir, exist_ok=True)
+        ids = self.split_ids()
+        assert len(all_boxes) == len(ids), \
+            f"{len(all_boxes)} detection lists for {len(ids)} split images"
+        files = {c: open(self.get_result_file_template(result_dir).format(c), "w")
+                 for c in self.classes}
+        try:
+            for iid, dets in zip(ids, all_boxes):
+                dets = np.asarray(dets, np.float64)
+                if dets.size == 0:
+                    continue
+                h, w = self._image_size(iid)
+                for row in dets:
+                    cls = self.classes[int(row[0])]
+                    files[cls].write(
+                        "{:s} {:.3f} {:.1f} {:.1f} {:.1f} {:.1f}\n".format(
+                            iid, row[1],
+                            int(row[2] * w) + 1, int(row[3] * h) + 1,
+                            int(row[4] * w) + 1, int(row[5] * h) + 1))
+        finally:
+            for f in files.values():
+                f.close()
+
+    def do_python_eval(self, result_dir: str, ovthresh: float = 0.5,
+                       use_07_metric: Optional[bool] = None):
+        """Score previously written result files; returns {class: AP, 'mAP':
+        mean} (pascal_voc.py:238-256; 07 metric for year < 2010)."""
+        from dspnet_tpu.evaluate.eval_voc import voc_eval
+
+        if use_07_metric is None:
+            use_07_metric = int(self.year) < 2010
+        anno_fmt = os.path.join(self.root, "Annotations", "{}.xml")
+        ids = self.split_ids()
+        aps = {}
+        for cls in self.classes:
+            lines = []
+            path = self.get_result_file_template(result_dir).format(cls)
+            if os.path.exists(path):
+                with open(path) as f:
+                    for line in f:
+                        p = line.split()
+                        if len(p) >= 6:
+                            lines.append((p[0], float(p[1]), *map(float, p[2:6])))
+            _, _, ap = voc_eval(lines, anno_fmt, ids, cls, ovthresh, use_07_metric)
+            aps[cls] = ap
+        aps["mAP"] = float(np.mean([aps[c] for c in self.classes]))
+        return aps
+
+    def evaluate_detections(self, detections, result_dir: Optional[str] = None,
+                            ovthresh: float = 0.5,
+                            use_07_metric: Optional[bool] = None):
+        """Top-level offline eval (pascal_voc.py:170-185): write devkit
+        result files under ``{devkit}/results/VOC{year}/Main`` (or
+        ``result_dir``) and score them. Returns the per-class AP dict."""
+        if result_dir is None:
+            result_dir = os.path.join(os.path.dirname(self.root), "results",
+                                      f"VOC{self.year}", "Main")
+        self.write_pascal_results(detections, result_dir)
+        return self.do_python_eval(result_dir, ovthresh, use_07_metric)
 
 
 class CityscapesDetSeg(Imdb):

@@ -7,11 +7,14 @@ Capability parity with the reference prep chain (SURVEY.md section 3.4):
   disparity inside the box: dist = 2200*75/median, >1000 -> 200 m
   (reference data/cityscapes/disparity2distance.py:42-82)
   --save_imglist--> .lst (reference tools/prepare_dataset.py:118-140);
-  the .rec packing step (tools/im2rec.py) has no TPU-side equivalent — the
-  iterator reads images directly (see dspnet_tpu.data.iterator docstring).
+  optional .drec packing lives in dspnet_tpu/tools/im2rec.py (the
+  tools/im2rec.py .rec/.idx equivalent).
 
-Also includes trainId label-image generation from the polygon JSON
-(capability of the vendored createTrainIdLabelImgs.py/json2labelImg.py).
+Also includes trainId label-image generation (capability of the vendored
+createTrainIdLabelImgs.py/json2labelImg.py), instanceIds generation
+(createTrainIdInstanceImgs.py/json2instanceImg.py), and half-res disparity
+resizing (resize_disparity.sh) so the depth metric can read
+``Disparity/*_disparity.png`` from the prepared layout.
 """
 
 from __future__ import annotations
@@ -102,6 +105,21 @@ def inject_distances(xml_path: str, disparity_path: str, class_names) -> None:
     tree.write(xml_path)
 
 
+def resize_disparity(src_path: str, dst_path: str, scale: float = 0.5) -> str:
+    """Nearest-resize a raw disparity PNG to the annotation scale (the
+    reference's resize_disparity.sh: `convert -interpolate nearest -filter
+    point -resize 1024x512` into Disparity/). The half-res annotations index
+    into this resized image (disparity2distance.py:52-64), and evaluation
+    reads it back for the depth metric (train/metric.py:201-237)."""
+    disparity = cv2.imread(src_path, cv2.IMREAD_UNCHANGED)
+    assert disparity is not None, src_path
+    h = int(round(disparity.shape[0] * scale))
+    w = int(round(disparity.shape[1] * scale))
+    out = cv2.resize(disparity, (w, h), interpolation=cv2.INTER_NEAREST)
+    cv2.imwrite(dst_path, out)
+    return dst_path
+
+
 def polygons_to_trainid_png(json_path: str, out_path: str) -> str:
     """Rasterize polygon JSON to a trainId label image (capability of the
     vendored createTrainIdLabelImgs/json2labelImg scripts)."""
@@ -125,6 +143,48 @@ def polygons_to_trainid_png(json_path: str, out_path: str) -> str:
     return out_path
 
 
+def polygons_to_instanceid_png(json_path: str, out_path: str,
+                               encoding: str = "ids") -> str:
+    """Rasterize polygon JSON to an instanceIds image (capability of the
+    vendored createTrainIdInstanceImgs.py/json2instanceImg.py scripts).
+
+    Pixel encoding (json2instanceImg.py:142-165): classes with
+    ``hasInstances`` get ``class_id * 1000 + running_instance_number`` per
+    polygon; '...group' polygons and no-instance classes get the bare class
+    id; negative ids are not drawn. Background is the 'unlabeled' id.
+    Written as a 16-bit PNG (the official gtFine *_instanceIds.png format,
+    consumed by evaluate/instance_eval.decode_instance_png).
+    """
+    with open(json_path) as f:
+        parsed = json.load(f)
+    h, w = parsed["imgHeight"], parsed["imgWidth"]
+    tid = encoding == "trainIds"
+    background = name2label["unlabeled"].trainId if tid else name2label["unlabeled"].id
+    out = np.full((h, w), max(background, 0), np.uint16)
+    counts: dict[str, int] = {}
+    for obj in parsed["objects"]:
+        if obj.get("deleted", 0):
+            continue
+        name = obj["label"]
+        is_group = False
+        if name not in name2label and name.endswith("group"):
+            name = name[: -len("group")]
+            is_group = True
+        if name not in name2label:
+            continue
+        label = name2label[name]
+        val = label.trainId if tid else label.id
+        if label.hasInstances and not is_group:
+            val = val * 1000 + counts.get(name, 0)
+            counts[name] = counts.get(name, 0) + 1
+        if val < 0:
+            continue
+        pts = np.asarray(obj["polygon"], np.int32).reshape(-1, 1, 2)
+        cv2.fillPoly(out, [pts], int(val))
+    cv2.imwrite(out_path, out)
+    return out_path
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="Prepare Cityscapes for dspnet_tpu.")
     p.add_argument("--gtfine", required=True, help="gtFine root (with */*.json)")
@@ -132,10 +192,15 @@ def main(argv=None):
     p.add_argument("--out", required=True, help="output dataset root")
     p.add_argument("--split", default="train")
     p.add_argument("--classes", default="person,rider,car,truck,bus,train,motorcycle,bicycle")
+    p.add_argument("--instance-ids", action="store_true",
+                   help="also rasterize *_gtFine_instanceIds.png (for the "
+                        "instance-level evaluator)")
     args = p.parse_args(argv)
     classes = args.classes.split(",")
     os.makedirs(os.path.join(args.out, "Annotations"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "SegmentationClass"), exist_ok=True)
+    if args.instance_ids:
+        os.makedirs(os.path.join(args.out, "SegmentationInstance"), exist_ok=True)
     os.makedirs(os.path.join(args.out, "ImageSets", "Main"), exist_ok=True)
     ids = []
     for jp in sorted(glob.glob(os.path.join(args.gtfine, args.split, "*", "*_gtFine_polygons.json"))):
@@ -145,12 +210,22 @@ def main(argv=None):
         polygons_to_trainid_png(
             jp, os.path.join(args.out, "SegmentationClass", stem + "_gtFine_labelTrainIds.png")
         )
+        if args.instance_ids:
+            polygons_to_instanceid_png(
+                jp, os.path.join(args.out, "SegmentationInstance",
+                                 stem + "_gtFine_instanceIds.png")
+            )
         if args.disparity:
             dp = os.path.join(
                 args.disparity, args.split, stem.split("_")[0], stem + "_disparity.png"
             )
             if os.path.exists(dp):
-                inject_distances(xml_path, dp, classes)
+                # resize to the XML's half-res coordinate frame first
+                # (resize_disparity.sh), keep the result for the depth metric
+                os.makedirs(os.path.join(args.out, "Disparity"), exist_ok=True)
+                half = resize_disparity(
+                    dp, os.path.join(args.out, "Disparity", stem + "_disparity.png"))
+                inject_distances(xml_path, half, classes)
         ids.append(stem + "_leftImg8bit")
     with open(os.path.join(args.out, "ImageSets", "Main", args.split + ".txt"), "w") as f:
         f.write("\n".join(ids) + "\n")

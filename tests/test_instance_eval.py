@@ -71,3 +71,39 @@ def test_boxes_and_seg_to_instances():
     mask, name, conf = inst[0]
     assert name == "car" and conf == pytest.approx(0.9)
     assert mask.sum() > 0
+
+
+def test_polygons_to_instanceid_png_roundtrip(tmp_path):
+    # json2instanceImg.py:142-165 encoding: instance classes -> id*1000+n,
+    # groups and stuff -> bare id; background = unlabeled id (0)
+    import json
+
+    import cv2
+
+    from dspnet_tpu.data.cs_labels import id2label
+    from dspnet_tpu.tools.prepare_cityscapes import polygons_to_instanceid_png
+
+    poly = {
+        "imgHeight": 64,
+        "imgWidth": 128,
+        "objects": [
+            {"label": "car", "polygon": [[4, 4], [40, 4], [40, 30], [4, 30]]},
+            {"label": "car", "polygon": [[60, 4], [100, 4], [100, 30], [60, 30]]},
+            {"label": "cargroup", "polygon": [[4, 40], [60, 40], [60, 60], [4, 60]]},
+            {"label": "sky", "polygon": [[100, 40], [127, 40], [127, 60], [100, 60]]},
+            {"label": "car", "deleted": 1,
+             "polygon": [[110, 10], [120, 10], [120, 20], [110, 20]]},
+        ],
+    }
+    jp = str(tmp_path / "x_gtFine_polygons.json")
+    json.dump(poly, open(jp, "w"))
+    out = str(tmp_path / "x_gtFine_instanceIds.png")
+    polygons_to_instanceid_png(jp, out)
+    img = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    assert img.dtype == np.uint16 and img.shape == (64, 128)
+    vals = set(np.unique(img).tolist())
+    # car id=26: two instances + one group; sky id=23; unlabeled background 0
+    assert {26000, 26001, 26, 23, 0} == vals
+    id2name = {lid: lab.name for lid, lab in id2label.items()}
+    inst = decode_instance_png(img, id2name, ["car"])
+    assert len(inst) == 2 and all(n == "car" for _, n in inst)

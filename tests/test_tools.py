@@ -117,3 +117,70 @@ def test_export_serving_roundtrip(tmp_path):
     want_det, want_seg = jax.jit(build_serve_fn(bundle, variables, (H, W)))(raw)
     np.testing.assert_allclose(np.asarray(det), np.asarray(want_det), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(seg), np.asarray(want_seg))
+
+
+def test_voc_evaluate_detections(tmp_path):
+    # the offline devkit-file eval path (pascal_voc.py:170-259)
+    from dspnet_tpu.data.imdb import PascalVoc
+
+    _make_voc(str(tmp_path))
+    db = PascalVoc("trainval", "2007", str(tmp_path))
+    car = db.classes.index("car")
+    # image 0: exact GT box (10,10,40,40 on 80x60); image 1: off-target box;
+    # image 2: no detections
+    dets = [
+        np.array([[car, 0.9, 10 / 80, 10 / 60, 40 / 80, 40 / 60]]),
+        np.array([[car, 0.8, 60 / 80, 40 / 60, 75 / 80, 55 / 60]]),
+        np.zeros((0, 6)),
+    ]
+    aps = db.evaluate_detections(dets, result_dir=str(tmp_path / "res"))
+    # 07 11-point metric (year<2010): rec=[1/3,1/3] prec=[1,.5] -> 4/11
+    assert aps["car"] == pytest.approx(4 / 11)
+    assert aps["aeroplane"] == 0.0
+    assert aps["mAP"] == pytest.approx(aps["car"] / len(db.classes))
+    # devkit result file: 1-based pixel coords, class-per-file
+    lines = open(tmp_path / "res" / "comp4_det_trainval_car.txt").read().splitlines()
+    assert len(lines) == 2
+    assert lines[0].split() == ["000000", "0.900", "11.0", "11.0", "41.0", "41.0"]
+
+
+def test_prepare_cityscapes_main(tmp_path):
+    # end-to-end prep: polygons.json + raw disparity -> XML with <distance>,
+    # trainId PNG, instanceIds PNG, half-res Disparity/ (resize_disparity.sh)
+    import json
+    import xml.etree.ElementTree as ET
+
+    import cv2
+
+    from dspnet_tpu.tools import prepare_cityscapes
+
+    gtfine = tmp_path / "gtFine" / "train" / "aachen"
+    disp = tmp_path / "disparity" / "train" / "aachen"
+    gtfine.mkdir(parents=True)
+    disp.mkdir(parents=True)
+    poly = {
+        "imgHeight": 128, "imgWidth": 256,
+        "objects": [{"label": "car",
+                     "polygon": [[40, 40], [200, 40], [200, 100], [40, 100]]}],
+    }
+    stem = "aachen_000000_000019"
+    json.dump(poly, open(gtfine / f"{stem}_gtFine_polygons.json", "w"))
+    # uniform disparity 1650 -> dist = 2200*75/1650 = 100 m
+    cv2.imwrite(str(disp / f"{stem}_disparity.png"),
+                np.full((128, 256), 1650, np.uint16))
+    out = tmp_path / "out"
+    prepare_cityscapes.main([
+        "--gtfine", str(tmp_path / "gtFine"),
+        "--disparity", str(tmp_path / "disparity"),
+        "--out", str(out), "--split", "train", "--instance-ids",
+    ])
+    xml = ET.parse(out / "Annotations" / f"{stem}_leftImg8bit.xml")
+    assert xml.find(".//distance").text == "100"
+    half = cv2.imread(str(out / "Disparity" / f"{stem}_disparity.png"),
+                      cv2.IMREAD_UNCHANGED)
+    assert half.shape == (64, 128) and half[32, 64] == 1650
+    inst = cv2.imread(str(out / "SegmentationInstance" / f"{stem}_gtFine_instanceIds.png"),
+                      cv2.IMREAD_UNCHANGED)
+    assert inst[70, 100] == 26000  # car instance 0 at full res
+    ids = open(out / "ImageSets" / "Main" / "train.txt").read().split()
+    assert ids == [f"{stem}_leftImg8bit"]
