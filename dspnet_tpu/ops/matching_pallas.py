@@ -124,7 +124,7 @@ def bipartite_match_pallas(iou, col_valid, interpret: bool = False):
     gt_packed, iou_packed = pl.pallas_call(
         kernel,
         grid=(B,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],  # stays in HBM
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],  # stays in HBM
         out_specs=(
             pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
