@@ -36,6 +36,7 @@ def resolve_dataset(args, split: str):
             num_samples=n,
             hw=(args.data_shape[0], args.data_shape[1]),
             seed=233 if split == "train" else 91,
+            with_instances=getattr(args, "instance_eval", False),
         )
     from dspnet_tpu.data.imdb import load_index
 

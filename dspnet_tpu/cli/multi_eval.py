@@ -46,6 +46,13 @@ def parse_args(argv=None):
                    help="write per-box depth relative errors here (dist_errors.txt)")
     p.add_argument("--seg-class-names", default="",
                    help="seg names file or comma list; default Cityscapes 19")
+    p.add_argument("--instance-eval", action="store_true",
+                   help="Cityscapes-style instance-level AP/AP50 from "
+                        "det boxes x seg map vs SegmentationInstance/ "
+                        "*_instanceIds.png ground truth")
+    p.add_argument("--predownscale", action="store_true",
+                   help="with --loader device: host-resize raws to the eval "
+                        "resolution before H2D")
     p.add_argument("--loader", default="python", choices=["python", "device"],
                    help="val input pipeline: host cv2 or on-device resize/normalize")
     p.add_argument("--random-init", action="store_true",
@@ -83,7 +90,8 @@ def main(argv=None):
         # host decodes raw uint8, resize + normalize run on device — batches
         # arrive device-resident so predict() pays no f32 H2D per batch
         it = DeviceAugIterator(index, args.batch_size, (H, W),
-                               enable_aug=False, shuffle=False)
+                               enable_aug=False, shuffle=False,
+                               predownscale=args.predownscale)
     else:
         it = MultiTaskIterator(index, args.batch_size, (H, W),
                                enable_aug=False, shuffle=False)
@@ -97,6 +105,7 @@ def main(argv=None):
         seg_class_names=resolve_class_names(args.seg_class_names, SEG_CLASSES),
         write_results=args.write_results or None,
         dist_errors_path=args.dist_errors or None,
+        instance_eval=args.instance_eval,
         log_fn=log.info,
     )
 

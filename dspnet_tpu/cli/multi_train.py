@@ -57,6 +57,10 @@ def parse_args(argv=None):
     p.add_argument("--loader-threads", type=int, default=8)
     p.add_argument("--target-backend", default="xla", choices=["xla", "pallas"],
                    help="bipartite-matching backend for target assignment")
+    p.add_argument("--predownscale", action="store_true",
+                   help="with --loader device: host-resize raws to the train "
+                        "resolution before H2D (fewer bytes on the wire; "
+                        "allows mixed raw resolutions)")
     p.add_argument("--remat", action="store_true",
                    help="per-unit rematerialization (jax.checkpoint) — trades "
                         "FLOPs for HBM; faster when activations spill "
@@ -93,9 +97,10 @@ def main(argv=None):
 
         train_iter = DeviceAugIterator(
             train_index, args.batch_size, (H, W), enable_aug=True, shard=shard,
-            num_threads=args.loader_threads,
+            num_threads=args.loader_threads, predownscale=args.predownscale,
         )
-        log.info("using on-device augmentation pipeline")
+        log.info("using on-device augmentation pipeline%s",
+                 " (host predownscale)" if args.predownscale else "")
     else:
         train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W),
                                        enable_aug=True, shard=shard)

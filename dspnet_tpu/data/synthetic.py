@@ -73,13 +73,20 @@ def build_dataset(
     max_objects: int = 6,
     seed: int = 233,
     with_disparity: bool = True,
+    with_instances: bool = False,
 ) -> SampleIndex:
-    """Write a synthetic dataset under ``root`` and return its SampleIndex."""
+    """Write a synthetic dataset under ``root`` and return its SampleIndex.
+
+    ``with_instances`` also writes gtFine-style ``*_instanceIds.png``
+    (labelId*1000 + instance index per box, draw order = occlusion order)
+    under SegmentationInstance/, for the instance-level evaluator."""
     rng = np.random.RandomState(seed)
     os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
     os.makedirs(os.path.join(root, "SegmentationClass"), exist_ok=True)
     if with_disparity:
         os.makedirs(os.path.join(root, "Disparity"), exist_ok=True)
+    if with_instances:
+        os.makedirs(os.path.join(root, "SegmentationInstance"), exist_ok=True)
     samples = []
     for i in range(num_samples):
         img, label, seg, disp = make_example(rng, hw, rng.randint(1, max_objects + 1))
@@ -89,6 +96,21 @@ def build_dataset(
         cv2.imwrite(spath, seg)
         if with_disparity:
             cv2.imwrite(os.path.join(root, "Disparity", f"synth_{i:04d}_disparity.png"), disp)
+        if with_instances:
+            from dspnet_tpu.data.cs_labels import name2label
+
+            H, W = seg.shape
+            inst = np.zeros((H, W), np.uint16)
+            counts = [0] * len(DET_CLASSES)
+            for row in label:
+                cid = int(row[0])
+                lid = name2label[DET_CLASSES[cid]].id
+                x1, y1 = int(round(row[1] * W)), int(round(row[2] * H))
+                x2, y2 = int(round(row[3] * W)), int(round(row[4] * H))
+                inst[y1:y2, x1:x2] = lid * 1000 + counts[cid]
+                counts[cid] += 1
+            cv2.imwrite(os.path.join(
+                root, "SegmentationInstance", f"synth_{i:04d}_gtFine_instanceIds.png"), inst)
         samples.append(Sample(ipath, SampleIndex.pad_label(label), spath))
     return SampleIndex(samples)
 

@@ -27,6 +27,14 @@ def disparity_path_for(image_path: str) -> str:
     )
 
 
+def instance_path_for(image_path: str) -> str:
+    """Image path -> sibling instanceIds PNG (prepare_cityscapes
+    --instance-ids layout)."""
+    return image_path.replace("JPEGImages", "SegmentationInstance").replace(
+        "_leftImg8bit.jpg", "_gtFine_instanceIds.png"
+    )
+
+
 def evaluate_model(
     detector,
     iterator,
@@ -36,6 +44,7 @@ def evaluate_model(
     seg_class_names=SEG_CLASSES,
     write_results: Optional[str] = None,
     dist_errors_path: Optional[str] = None,
+    instance_eval: bool = False,
     log_fn=None,
 ) -> Dict[str, float]:
     """One pass over ``iterator`` computing mAP, mIoU, pixel accuracy, depth
@@ -46,6 +55,20 @@ def evaluate_model(
     iou_metric = IoUMetric(list(seg_class_names))
     acc_metric = CustomAccuracyMetric()
     dist_metric = DistanceAccuracyMetric(list(class_names))
+
+    instance_images = []  # (preds, gts) per image when instance_eval
+    if instance_eval:
+        from dspnet_tpu.data.cs_labels import id2label, name2label
+        from dspnet_tpu.evaluate.instance_eval import (
+            boxes_and_seg_to_instances,
+            decode_instance_png,
+        )
+
+        inst_id2name = {lid: lab.name for lid, lab in id2label.items()}
+        det_to_trainid = {
+            i: name2label[n].trainId for i, n in enumerate(class_names)
+            if n in name2label
+        }
 
     n_batches = 0
     total_ms = 0.0
@@ -79,6 +102,24 @@ def evaluate_model(
                     if disparity is not None:
                         dist_metric.update(disparity, rows)
             map_metric.update(labels, preds)
+        if instance_eval and "det" in res and "seg" in res:
+            det = np.asarray(res["det"])
+            seg_pred = np.asarray(res["seg"])
+            for b in range(det.shape[0]):
+                ipath = instance_path_for(fnames[b])
+                inst_img = cv2.imread(ipath, cv2.IMREAD_UNCHANGED) \
+                    if os.path.exists(ipath) else None
+                if inst_img is None:
+                    continue
+                gts = decode_instance_png(
+                    inst_img.astype(np.int64), inst_id2name, list(class_names))
+                rows = det[b]
+                rows = rows[(rows[:, 0] >= 0) & (rows[:, 1] > det_score_thresh)]
+                preds = boxes_and_seg_to_instances(
+                    rows, seg_pred[b], det_to_trainid, list(class_names),
+                    inst_img.shape[:2])
+                instance_images.append((preds, gts))
+
         if "seg" in res and "seg_label" in batch:
             seg_pred = np.asarray(res["seg"])
             seg_gt = np.asarray(batch["seg_label"])
@@ -115,9 +156,17 @@ def evaluate_model(
             logging.getLogger(__name__).exception(
                 "metric %s failed; its keys are missing from the results",
                 type(metric).__name__)
+    if instance_eval and instance_images:
+        from dspnet_tpu.evaluate.instance_eval import evaluate_instances
+
+        inst = evaluate_instances(instance_images, list(class_names))
+        results["instAP"] = inst.pop("AP")
+        results["instAP50"] = inst.pop("AP50")
+        results.update({f"inst_{c}": v for c, v in inst.items()})
     results["ms_per_batch"] = total_ms / max(timed, 1)
     if log_fn:
-        for k in ("mAP", "mIoU", "accuracy", "derror", "ms_per_batch"):
+        for k in ("mAP", "mIoU", "accuracy", "derror", "instAP", "instAP50",
+                  "ms_per_batch"):
             if k in results:
                 log_fn(f"{k}: {results[k]}")
         # LaTeX-ready &-joined row (multi_solver.py:500-517)

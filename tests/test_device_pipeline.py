@@ -60,3 +60,39 @@ def test_device_pipeline_rejects_mixed_sizes(tmp_path):
     it = DeviceAugIterator(idx, batch_size=2, data_shape=(32, 64), shuffle=False)
     with pytest.raises(AssertionError, match="mixed raw resolutions"):
         next(it.epoch())
+
+
+@pytest.mark.parametrize("enable_aug", [False, True])
+def test_device_pipeline_predownscale(dataset, enable_aug):
+    # host pre-resize to train res: labels identical to the one-step path
+    # (geometry is resolution-independent), pixels close
+    kw = dict(batch_size=2, data_shape=(64, 128), enable_aug=enable_aug,
+              shuffle=True)
+    ref = DeviceAugIterator(dataset, **kw)
+    pre = DeviceAugIterator(dataset, predownscale=True, **kw)
+    (rb, rn), (pb, pn) = next(ref.epoch()), next(pre.epoch())
+    assert rn == pn
+    np.testing.assert_allclose(
+        np.asarray(pb["label_det"]), np.asarray(rb["label_det"]), atol=2e-4)
+    diff = np.abs(np.asarray(pb["images"]) - np.asarray(rb["images"]))
+    assert np.mean(diff) < 4.0, f"mean abs diff {np.mean(diff)}"
+    seg_mismatch = np.mean(np.asarray(pb["seg_label"]) != np.asarray(rb["seg_label"]))
+    assert seg_mismatch < 0.05, f"seg mismatch rate {seg_mismatch}"
+
+
+def test_device_pipeline_predownscale_mixed_sizes(tmp_path):
+    import cv2
+
+    from dspnet_tpu.data.iterator import Sample, SampleIndex
+
+    p1, p2 = str(tmp_path / "a.jpg"), str(tmp_path / "b.jpg")
+    cv2.imwrite(p1, np.full((32, 64, 3), 60, np.uint8))
+    cv2.imwrite(p2, np.full((96, 64, 3), 200, np.uint8))
+    idx = SampleIndex([
+        Sample(p1, SampleIndex.pad_label(np.zeros((0, 6), np.float32))),
+        Sample(p2, SampleIndex.pad_label(np.zeros((0, 6), np.float32))),
+    ])
+    it = DeviceAugIterator(idx, batch_size=2, data_shape=(32, 64),
+                           shuffle=False, enable_aug=False, predownscale=True)
+    batch, _ = next(it.epoch())
+    assert np.asarray(batch["images"]).shape == (2, 32, 64, 3)
