@@ -200,7 +200,12 @@ class PascalVoc(Imdb):
                     continue
                 h, w = self._image_size(iid)
                 for row in dets:
-                    cls = self.classes[int(row[0])]
+                    cid = int(row[0])
+                    # detector padding rows are all -1 (pascal_voc.py:231
+                    # filters by class the same way)
+                    if not 0 <= cid < len(self.classes):
+                        continue
+                    cls = self.classes[cid]
                     files[cls].write(
                         "{:s} {:.3f} {:.1f} {:.1f} {:.1f} {:.1f}\n".format(
                             iid, row[1],
@@ -217,7 +222,9 @@ class PascalVoc(Imdb):
         from dspnet_tpu.evaluate.eval_voc import voc_eval
 
         if use_07_metric is None:
-            use_07_metric = int(self.year) < 2010
+            # 07 metric for year < 2010 (pascal_voc.py:247-249); non-numeric
+            # years (e.g. the load_index VOC fallback) use the modern metric
+            use_07_metric = self.year.isdigit() and int(self.year) < 2010
         anno_fmt = os.path.join(self.root, "Annotations", "{}.xml")
         ids = self.split_ids()
         aps = {}

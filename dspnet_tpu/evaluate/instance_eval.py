@@ -98,40 +98,59 @@ def average_precision(scored: List[Tuple[float, bool]], num_gt: int) -> float:
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+class InstanceEvalAccumulator:
+    """Streaming per-image accumulation: each image's masks are matched at
+    every overlap threshold immediately and then released, so whole-dataset
+    mask sets never sit in memory (real Cityscapes val would otherwise hold
+    tens of GB of full-resolution boolean masks)."""
+
+    def __init__(self, class_names: Sequence[str]):
+        self.class_names = list(class_names)
+        self._records: Dict[float, Dict[str, List]] = {t: {} for t in OVERLAPS}
+        self._counts: Dict[float, Dict[str, int]] = {t: {} for t in OVERLAPS}
+        self.num_images = 0
+
+    def update(self, preds, gts) -> None:
+        """One image: preds [(mask, class_name, confidence)], gts
+        [(mask, class_name)]."""
+        self.num_images += 1
+        for t in OVERLAPS:
+            rec, cnt = match_instances(preds, gts, t)
+            for c, r in rec.items():
+                self._records[t].setdefault(c, []).extend(r)
+            for c, n in cnt.items():
+                self._counts[t][c] = self._counts[t].get(c, 0) + n
+
+    def get(self) -> Dict[str, float]:
+        results: Dict[str, float] = {}
+        aps_all, aps_50 = [], []
+        for c in self.class_names:
+            aps = []
+            for t in OVERLAPS:
+                num_gt = self._counts[t].get(c, 0)
+                if num_gt == 0:
+                    continue
+                aps.append(average_precision(self._records[t].get(c, []), num_gt))
+            if aps:
+                results[c] = float(np.mean(aps))
+                aps_all.append(results[c])
+                t50 = OVERLAPS[0]
+                aps_50.append(average_precision(self._records[t50].get(c, []),
+                                                self._counts[t50].get(c, 0)))
+        results["AP"] = float(np.mean(aps_all)) if aps_all else float("nan")
+        results["AP50"] = float(np.mean(aps_50)) if aps_50 else float("nan")
+        return results
+
+
 def evaluate_instances(
     images: Iterable[Tuple[List, List]], class_names: Sequence[str]
 ) -> Dict[str, float]:
     """images: iterable of (preds, gts) per image. Returns {class: AP} +
     'AP' (mean over classes/overlaps) and 'AP50'."""
-    per_thresh: Dict[float, Dict[str, List]] = {t: {} for t in OVERLAPS}
-    per_thresh_counts: Dict[float, Dict[str, int]] = {t: {} for t in OVERLAPS}
-    images = list(images)
-    for t in OVERLAPS:
-        for preds, gts in images:
-            rec, cnt = match_instances(preds, gts, t)
-            for c, r in rec.items():
-                per_thresh[t].setdefault(c, []).extend(r)
-            for c, n in cnt.items():
-                per_thresh_counts[t][c] = per_thresh_counts[t].get(c, 0) + n
-
-    results: Dict[str, float] = {}
-    aps_all, aps_50 = [], []
-    for c in class_names:
-        aps = []
-        for t in OVERLAPS:
-            num_gt = per_thresh_counts[t].get(c, 0)
-            if num_gt == 0:
-                continue
-            aps.append(average_precision(per_thresh[t].get(c, []), num_gt))
-        if aps:
-            results[c] = float(np.mean(aps))
-            aps_all.append(results[c])
-            t50 = OVERLAPS[0]
-            aps_50.append(average_precision(per_thresh[t50].get(c, []),
-                                            per_thresh_counts[t50].get(c, 0)))
-    results["AP"] = float(np.mean(aps_all)) if aps_all else float("nan")
-    results["AP50"] = float(np.mean(aps_50)) if aps_50 else float("nan")
-    return results
+    acc = InstanceEvalAccumulator(class_names)
+    for preds, gts in images:
+        acc.update(preds, gts)
+    return acc.get()
 
 
 def boxes_and_seg_to_instances(

@@ -56,14 +56,16 @@ def evaluate_model(
     acc_metric = CustomAccuracyMetric()
     dist_metric = DistanceAccuracyMetric(list(class_names))
 
-    instance_images = []  # (preds, gts) per image when instance_eval
+    inst_acc = None
     if instance_eval:
         from dspnet_tpu.data.cs_labels import id2label, name2label
         from dspnet_tpu.evaluate.instance_eval import (
+            InstanceEvalAccumulator,
             boxes_and_seg_to_instances,
             decode_instance_png,
         )
 
+        inst_acc = InstanceEvalAccumulator(list(class_names))
         inst_id2name = {lid: lab.name for lid, lab in id2label.items()}
         det_to_trainid = {
             i: name2label[n].trainId for i, n in enumerate(class_names)
@@ -88,6 +90,8 @@ def evaluate_model(
         label_det = np.asarray(batch["label_det"]) if "label_det" in batch else None
         if "det" in res:
             det = np.asarray(res["det"])
+            inst_seg = (np.asarray(res["seg"])
+                        if inst_acc is not None and "seg" in res else None)
             labels, preds = [], []
             for b in range(det.shape[0]):
                 gt = label_det[b]
@@ -101,24 +105,22 @@ def evaluate_model(
                     disparity = cv2.imread(dpath, cv2.IMREAD_UNCHANGED)
                     if disparity is not None:
                         dist_metric.update(disparity, rows)
+                if inst_seg is not None:
+                    # same filtered rows feed mAP and instance AP; masks are
+                    # matched per image by the accumulator, then released
+                    ipath = instance_path_for(fnames[b])
+                    inst_img = (cv2.imread(ipath, cv2.IMREAD_UNCHANGED)
+                                if ipath != fnames[b] and os.path.exists(ipath)
+                                else None)
+                    if inst_img is not None:
+                        gts = decode_instance_png(
+                            inst_img.astype(np.int64), inst_id2name,
+                            list(class_names))
+                        inst_preds = boxes_and_seg_to_instances(
+                            rows, inst_seg[b], det_to_trainid,
+                            list(class_names), inst_img.shape[:2])
+                        inst_acc.update(inst_preds, gts)
             map_metric.update(labels, preds)
-        if instance_eval and "det" in res and "seg" in res:
-            det = np.asarray(res["det"])
-            seg_pred = np.asarray(res["seg"])
-            for b in range(det.shape[0]):
-                ipath = instance_path_for(fnames[b])
-                inst_img = cv2.imread(ipath, cv2.IMREAD_UNCHANGED) \
-                    if os.path.exists(ipath) else None
-                if inst_img is None:
-                    continue
-                gts = decode_instance_png(
-                    inst_img.astype(np.int64), inst_id2name, list(class_names))
-                rows = det[b]
-                rows = rows[(rows[:, 0] >= 0) & (rows[:, 1] > det_score_thresh)]
-                preds = boxes_and_seg_to_instances(
-                    rows, seg_pred[b], det_to_trainid, list(class_names),
-                    inst_img.shape[:2])
-                instance_images.append((preds, gts))
 
         if "seg" in res and "seg_label" in batch:
             seg_pred = np.asarray(res["seg"])
@@ -156,13 +158,19 @@ def evaluate_model(
             logging.getLogger(__name__).exception(
                 "metric %s failed; its keys are missing from the results",
                 type(metric).__name__)
-    if instance_eval and instance_images:
-        from dspnet_tpu.evaluate.instance_eval import evaluate_instances
+    if inst_acc is not None:
+        if inst_acc.num_images == 0:
+            import logging
 
-        inst = evaluate_instances(instance_images, list(class_names))
-        results["instAP"] = inst.pop("AP")
-        results["instAP50"] = inst.pop("AP50")
-        results.update({f"inst_{c}": v for c, v in inst.items()})
+            logging.getLogger(__name__).warning(
+                "instance_eval: no *_instanceIds.png ground truth found "
+                "(expected SegmentationInstance/ beside JPEGImages/, see "
+                "prepare_cityscapes --instance-ids); instAP not computed")
+        else:
+            inst = inst_acc.get()
+            results["instAP"] = inst.pop("AP")
+            results["instAP50"] = inst.pop("AP50")
+            results.update({f"inst_{c}": v for c, v in inst.items()})
     results["ms_per_batch"] = total_ms / max(timed, 1)
     if log_fn:
         for k in ("mAP", "mIoU", "accuracy", "derror", "instAP", "instAP50",

@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import glob
 import json
-import math
 import os
 import xml.etree.ElementTree as ET
 from xml.dom import minidom
@@ -78,7 +77,10 @@ def disparity_to_distance(disparity_roi: np.ndarray) -> float:
     roi = np.sort(disparity_roi.astype(np.float32).reshape(-1))
     if roi.shape[0] == 0:
         return 200.0
-    dist = DISPARITY_SCALE / (roi[int(math.ceil(roi.shape[0] / 2))] + 1e-3)
+    # the reference's `ceil(n/2)` runs under Python-2 integer division, so
+    # the index is really n//2 (disparity2distance.py:67) — and in-bounds
+    # for 1-pixel ROIs
+    dist = DISPARITY_SCALE / (roi[roi.shape[0] // 2] + 1e-3)
     return 200.0 if dist > 1000 else float(dist)
 
 
@@ -120,24 +122,36 @@ def resize_disparity(src_path: str, dst_path: str, scale: float = 0.5) -> str:
     return dst_path
 
 
-def polygons_to_trainid_png(json_path: str, out_path: str) -> str:
-    """Rasterize polygon JSON to a trainId label image (capability of the
-    vendored createTrainIdLabelImgs/json2labelImg scripts)."""
+def _iter_polygons(json_path: str):
+    """Yield (label, pts (n,1,2) int32, is_group) for each drawable polygon,
+    resolving '...group' names and skipping deleted/unknown labels — the
+    shared object loop of the vendored json2labelImg/json2instanceImg."""
     with open(json_path) as f:
         parsed = json.load(f)
-    h, w = parsed["imgHeight"], parsed["imgWidth"]
-    out = np.full((h, w), 255, np.uint8)  # unlabeled -> ignore
+    polys = []
     for obj in parsed["objects"]:
         if obj.get("deleted", 0):
             continue
         name = obj["label"]
+        is_group = False
         if name not in name2label and name.endswith("group"):
             name = name[: -len("group")]
+            is_group = True
         if name not in name2label:
             continue
-        tid = name2label[name].trainId
-        val = 255 if tid < 0 or tid == 255 else tid
         pts = np.asarray(obj["polygon"], np.int32).reshape(-1, 1, 2)
+        polys.append((name2label[name], pts, is_group))
+    return (parsed["imgHeight"], parsed["imgWidth"]), polys
+
+
+def polygons_to_trainid_png(json_path: str, out_path: str) -> str:
+    """Rasterize polygon JSON to a trainId label image (capability of the
+    vendored createTrainIdLabelImgs/json2labelImg scripts)."""
+    (h, w), polys = _iter_polygons(json_path)
+    out = np.full((h, w), 255, np.uint8)  # unlabeled -> ignore
+    for label, pts, _ in polys:
+        tid = label.trainId
+        val = 255 if tid < 0 or tid == 255 else tid
         cv2.fillPoly(out, [pts], int(val))
     cv2.imwrite(out_path, out)
     return out_path
@@ -151,37 +165,29 @@ def polygons_to_instanceid_png(json_path: str, out_path: str,
     Pixel encoding (json2instanceImg.py:142-165): classes with
     ``hasInstances`` get ``class_id * 1000 + running_instance_number`` per
     polygon; '...group' polygons and no-instance classes get the bare class
-    id; negative ids are not drawn. Background is the 'unlabeled' id.
-    Written as a 16-bit PNG (the official gtFine *_instanceIds.png format,
-    consumed by evaluate/instance_eval.decode_instance_png).
+    id; negative ids are not drawn (but still consume an instance number,
+    matching the official count order). Background is the 'unlabeled' id.
+    Written as a 16-bit PNG (the official gtFine *_instanceIds.png format).
+    Deviation from json2instanceImg -t: with ``encoding='trainIds'``,
+    ignore-classes (trainId 255, all ``ignoreInEval``) keep the bare 255
+    instead of 255*1000+n — PNG is capped at 16 bits, and the official
+    script's mode-"I" PIL save silently clamps those values to 65535 anyway.
     """
-    with open(json_path) as f:
-        parsed = json.load(f)
-    h, w = parsed["imgHeight"], parsed["imgWidth"]
+    (h, w), polys = _iter_polygons(json_path)
     tid = encoding == "trainIds"
     background = name2label["unlabeled"].trainId if tid else name2label["unlabeled"].id
-    out = np.full((h, w), max(background, 0), np.uint16)
+    out = np.full((h, w), max(background, 0), np.int32)
     counts: dict[str, int] = {}
-    for obj in parsed["objects"]:
-        if obj.get("deleted", 0):
-            continue
-        name = obj["label"]
-        is_group = False
-        if name not in name2label and name.endswith("group"):
-            name = name[: -len("group")]
-            is_group = True
-        if name not in name2label:
-            continue
-        label = name2label[name]
+    for label, pts, is_group in polys:
         val = label.trainId if tid else label.id
         if label.hasInstances and not is_group:
-            val = val * 1000 + counts.get(name, 0)
-            counts[name] = counts.get(name, 0) + 1
+            if not (tid and val >= 255):
+                val = val * 1000 + counts.get(label.name, 0)
+            counts[label.name] = counts.get(label.name, 0) + 1
         if val < 0:
             continue
-        pts = np.asarray(obj["polygon"], np.int32).reshape(-1, 1, 2)
         cv2.fillPoly(out, [pts], int(val))
-    cv2.imwrite(out_path, out)
+    cv2.imwrite(out_path, out.astype(np.uint16))
     return out_path
 
 

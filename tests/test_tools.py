@@ -184,3 +184,38 @@ def test_prepare_cityscapes_main(tmp_path):
     assert inst[70, 100] == 26000  # car instance 0 at full res
     ids = open(out / "ImageSets" / "Main" / "train.txt").read().split()
     assert ids == [f"{stem}_leftImg8bit"]
+
+
+def test_disparity_to_distance_single_pixel():
+    # py2 integer-division median index (disparity2distance.py:67): a 1-pixel
+    # ROI must not crash and the index is n//2
+    from dspnet_tpu.tools.prepare_cityscapes import disparity_to_distance
+
+    assert disparity_to_distance(np.array([[1650]], np.uint16)) == pytest.approx(
+        2200 * 75 / 1650.001, rel=1e-4)
+    assert disparity_to_distance(np.zeros((0,), np.uint16)) == 200.0
+
+
+def test_instanceid_png_trainids_encoding(tmp_path):
+    # trainIds encoding: ignore-classes (trainId 255) keep the bare 255
+    # (16-bit PNG cap; documented deviation), instance classes get tid*1000+n
+    import json
+
+    import cv2
+
+    from dspnet_tpu.tools.prepare_cityscapes import polygons_to_instanceid_png
+
+    poly = {"imgHeight": 16, "imgWidth": 32, "objects": [
+        {"label": "caravan", "polygon": [[2, 2], [12, 2], [12, 10], [2, 10]]},
+        {"label": "car", "polygon": [[16, 2], [28, 2], [28, 10], [16, 10]]},
+    ]}
+    jp = str(tmp_path / "x.json")
+    json.dump(poly, open(jp, "w"))
+    out = str(tmp_path / "x_inst.png")
+    polygons_to_instanceid_png(jp, out, encoding="trainIds")
+    img = cv2.imread(out, cv2.IMREAD_UNCHANGED)
+    vals = set(np.unique(img).tolist())
+    # background unlabeled trainId 255; caravan stays bare 255; car 13*1000
+    # (count order still matches the official script: caravan consumed n=0,
+    # but car has its own per-class counter)
+    assert vals == {255, 13000}
