@@ -48,6 +48,9 @@ def parse_args(argv=None):
                         "partitioning of activations); data axis gets the rest")
     p.add_argument("--log-every", type=int, default=20)
     p.add_argument("--eval-every", type=int, default=1)
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="save every N epochs (reference: every epoch); the "
+                        "final epoch is always saved")
     p.add_argument("--seg-normalize", default="null", choices=["null", "valid"])
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="model compute precision (f32 master weights either way)")
@@ -61,6 +64,10 @@ def parse_args(argv=None):
                    help="with --loader device: host-resize raws to the train "
                         "resolution before H2D (fewer bytes on the wire; "
                         "allows mixed raw resolutions)")
+    p.add_argument("--native-u8", action="store_true",
+                   help="with --loader native: transfer the warped batch as "
+                        "uint8 and mean-sub on device (4x less H2D, "
+                        "bit-identical images)")
     p.add_argument("--remat", action="store_true",
                    help="per-unit rematerialization (jax.checkpoint) — trades "
                         "FLOPs for HBM; faster when activations spill "
@@ -90,8 +97,10 @@ def main(argv=None):
         train_iter = NativeMultiTaskIterator(
             train_index, args.batch_size, (H, W), enable_aug=True,
             num_threads=args.loader_threads, shard=shard,
+            device_normalize=args.native_u8,
         )
-        log.info("using native C++ loader (%d threads)", args.loader_threads)
+        log.info("using native C++ loader (%d threads%s)", args.loader_threads,
+                 ", uint8 H2D" if args.native_u8 else "")
     elif args.loader == "device":
         from dspnet_tpu.data.device_pipeline import DeviceAugIterator
 
@@ -147,9 +156,16 @@ def main(argv=None):
         begin = epoch + 1
         log.info("resumed from epoch %d", epoch)
 
+    last_epoch = args.end_epoch - begin - 1
+
     def epoch_cb(epoch, st):
-        ckpt.save(begin + epoch, st)
-        log.info("checkpoint saved: %s step %d", prefix, begin + epoch)
+        # reference saves every epoch (mx.callback.do_checkpoint period=1,
+        # multi_train.py:370); --checkpoint-every N amortizes the save cost
+        # (a full f32 state D2H+write can dwarf small-epoch compute) while
+        # always keeping the final epoch
+        if (epoch + 1) % args.checkpoint_every == 0 or epoch == last_epoch:
+            ckpt.save(begin + epoch, st)
+            log.info("checkpoint saved: %s step %d", prefix, begin + epoch)
 
     eval_iter = None
     if args.eval_every > 0:

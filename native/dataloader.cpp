@@ -230,9 +230,10 @@ struct SampleDesc {
 };
 
 struct Batch {
-  std::vector<float> images;   // B*H*W*3
-  std::vector<float> labels;   // B*200*6
-  std::vector<int32_t> segs;   // B*(H/4)*(W/4)
+  std::vector<float> images;      // B*H*W*3 (f32 mode)
+  std::vector<uint8_t> images_u8; // B*H*W*3 (u8 mode: RGB, no mean-sub)
+  std::vector<float> labels;      // B*200*6
+  std::vector<int32_t> segs;      // B*(H/4)*(W/4)
   int count = 0;
 };
 
@@ -240,6 +241,7 @@ struct Loader {
   int H, W, batch_size, num_threads, queue_cap;
   float mean[3];
   bool enable_aug;
+  bool u8_mode = false;  // emit warped uint8; caller normalizes on device
   uint8_t seg_lut[256];
 
   std::vector<SampleDesc> samples;
@@ -326,12 +328,18 @@ void process_one(Loader* L, int cursor, int slot, Batch* batch) {
   bool has_seg = !s.seg_path.empty() &&
                  decode_png_gray(s.seg_path, s.seg_off, s.seg_len, &seg);
   int H = L->H, W = L->W;
-  float* out_img = batch->images.data() + size_t(slot) * H * W * 3;
+  float* out_img = L->u8_mode ? nullptr
+      : batch->images.data() + size_t(slot) * H * W * 3;
+  uint8_t* out_u8 = L->u8_mode
+      ? batch->images_u8.data() + size_t(slot) * H * W * 3 : nullptr;
   float* out_lbl = batch->labels.data() + size_t(slot) * kMaxObjects * kLabelWidth;
   int32_t* out_seg = batch->segs.data() + size_t(slot) * (H / 4) * (W / 4);
   std::memcpy(out_lbl, s.label, sizeof(s.label));
   if (!has_img) {
-    std::memset(out_img, 0, size_t(H) * W * 3 * sizeof(float));
+    if (L->u8_mode)
+      std::memset(out_u8, 0, size_t(H) * W * 3);
+    else
+      std::memset(out_img, 0, size_t(H) * W * 3 * sizeof(float));
     return;
   }
 
@@ -358,15 +366,28 @@ void process_one(Loader* L, int cursor, int slot, Batch* batch) {
   }
 
   bool do_flip = L->enable_aug && flip > 0.5;
-  // mean-sub RGB float NHWC (+ horizontal flip applied during copy)
-  for (int y = 0; y < H; ++y) {
-    for (int x = 0; x < W; ++x) {
-      int xs = do_flip ? (W - 1 - x) : x;
-      const uint8_t* sp = warped.data() + (size_t(y) * W + xs) * 3;
-      float* dp = out_img + (size_t(y) * W + x) * 3;
-      dp[0] = sp[0] - L->mean[0];
-      dp[1] = sp[1] - L->mean[1];
-      dp[2] = sp[2] - L->mean[2];
+  if (L->u8_mode) {
+    // raw warped RGB uint8 (+ flip); mean-sub runs on device — 4x less
+    // host->device traffic than the f32 batch
+    for (int y = 0; y < H; ++y) {
+      for (int x = 0; x < W; ++x) {
+        int xs = do_flip ? (W - 1 - x) : x;
+        const uint8_t* sp = warped.data() + (size_t(y) * W + xs) * 3;
+        uint8_t* dp = out_u8 + (size_t(y) * W + x) * 3;
+        dp[0] = sp[0]; dp[1] = sp[1]; dp[2] = sp[2];
+      }
+    }
+  } else {
+    // mean-sub RGB float NHWC (+ horizontal flip applied during copy)
+    for (int y = 0; y < H; ++y) {
+      for (int x = 0; x < W; ++x) {
+        int xs = do_flip ? (W - 1 - x) : x;
+        const uint8_t* sp = warped.data() + (size_t(y) * W + xs) * 3;
+        float* dp = out_img + (size_t(y) * W + x) * 3;
+        dp[0] = sp[0] - L->mean[0];
+        dp[1] = sp[1] - L->mean[1];
+        dp[2] = sp[2] - L->mean[2];
+      }
     }
   }
   if (has_seg) {
@@ -397,7 +418,10 @@ void worker_main(Loader* L) {
     }
     Batch batch;
     int B = L->batch_size;
-    batch.images.resize(size_t(B) * L->H * L->W * 3);
+    if (L->u8_mode)
+      batch.images_u8.resize(size_t(B) * L->H * L->W * 3);
+    else
+      batch.images.resize(size_t(B) * L->H * L->W * 3);
     batch.labels.assign(size_t(B) * kMaxObjects * kLabelWidth, -1.f);
     batch.segs.resize(size_t(B) * (L->H / 4) * (L->W / 4));
     batch.count = B;
@@ -513,6 +537,31 @@ int dl_next_batch(void* handle, float* images, float* labels, int32_t* segs) {
   }
   L->cv_pop.notify_all();
   std::memcpy(images, b.images.data(), b.images.size() * sizeof(float));
+  std::memcpy(labels, b.labels.data(), b.labels.size() * sizeof(float));
+  std::memcpy(segs, b.segs.data(), b.segs.size() * sizeof(int32_t));
+  return b.count;
+}
+
+// Switch to uint8 output (call before the first dl_start_epoch).
+void dl_set_u8(void* handle, int enable) {
+  ((Loader*)handle)->u8_mode = enable != 0;
+}
+
+// Blocking pop, uint8 mode. Returns batch count (0 on shutdown, -1 if the
+// loader is not in u8 mode).
+int dl_next_batch_u8(void* handle, uint8_t* images, float* labels, int32_t* segs) {
+  Loader* L = (Loader*)handle;
+  if (!L->u8_mode) return -1;
+  Batch b;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->cv_push.wait(lk, [&] { return L->stop.load() || !L->queue.empty(); });
+    if (L->stop.load() && L->queue.empty()) return 0;
+    b = std::move(L->queue.front());
+    L->queue.pop_front();
+  }
+  L->cv_pop.notify_all();
+  std::memcpy(images, b.images_u8.data(), b.images_u8.size());
   std::memcpy(labels, b.labels.data(), b.labels.size() * sizeof(float));
   std::memcpy(segs, b.segs.data(), b.segs.size() * sizeof(int32_t));
   return b.count;

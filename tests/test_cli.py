@@ -108,3 +108,22 @@ def test_train_single_task(workdir, task_net):
         "--model-dir", str(workdir / f"model_{task_net}"),
         "--seg-normalize", "valid",
     ])
+
+
+def test_checkpoint_every(workdir):
+    # --checkpoint-every N skips intermediate epochs but always saves the last
+    from dspnet_tpu.cli import multi_train
+
+    mdir = str(workdir / "model_ckpt_every")
+    multi_train.main(NET + DEV + [
+        "--batch-size", "2", "--synthetic", "4",
+        "--synthetic-dir", str(workdir / "synth"),
+        "--end-epoch", "3", "--eval-every", "0", "--checkpoint-every", "2",
+        "--model-dir", mdir, "--seg-normalize", "valid",
+    ])
+    steps = sorted(
+        int(os.path.basename(p))
+        for p in glob.glob(os.path.join(mdir, "multitask_*", "[0-9]*"))
+        if os.path.basename(p).isdigit()
+    )
+    assert steps == [1, 2], steps  # epoch 1 (every-2) + final epoch 2

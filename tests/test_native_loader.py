@@ -47,3 +47,21 @@ def test_native_epoch_reset_deterministic(dataset):
     np.testing.assert_array_equal(ba["images"], bb["images"])  # thread count must not matter
     a.close()
     b.close()
+
+
+def test_native_u8_device_normalize_parity(dataset):
+    # uint8 H2D + device mean-sub must be bit-identical to the f32 path
+    # (same arithmetic: float(u8) - mean)
+    kw = dict(batch_size=2, data_shape=(64, 128), enable_aug=True,
+              shuffle=True, num_threads=2)
+    f32 = NativeMultiTaskIterator(dataset, **kw)
+    u8 = NativeMultiTaskIterator(dataset, device_normalize=True, **kw)
+    try:
+        for _ in range(2):
+            bf, bu = f32.next_batch(), u8.next_batch()
+            np.testing.assert_array_equal(np.asarray(bu["images"]), bf["images"])
+            np.testing.assert_array_equal(bu["label_det"], bf["label_det"])
+            np.testing.assert_array_equal(bu["seg_label"], bf["seg_label"])
+    finally:
+        f32.close()
+        u8.close()
