@@ -53,7 +53,10 @@ def parse_args(argv=None):
     p.add_argument("--predownscale", action="store_true",
                    help="with --loader device: host-resize raws to the eval "
                         "resolution before H2D")
-    p.add_argument("--loader", default="python", choices=["python", "device"],
+    p.add_argument("--native-u8", action="store_true",
+                   help="with --loader native: uint8 H2D + device mean-sub")
+    p.add_argument("--loader", default="python",
+                   choices=["python", "native", "device"],
                    help="val input pipeline: host cv2 or on-device resize/normalize")
     p.add_argument("--random-init", action="store_true",
                    help="skip checkpoint load (pipeline smoke testing)")
@@ -84,7 +87,17 @@ def main(argv=None):
     )
 
     index = resolve_dataset(args, "val")
-    if args.loader == "device":
+    if args.loader == "native":
+        from dspnet_tpu.data.native_loader import (
+            NativeMultiTaskIterator,
+            native_available,
+        )
+
+        assert native_available(), "build it first: make -C native"
+        it = NativeMultiTaskIterator(index, args.batch_size, (H, W),
+                                     enable_aug=False, shuffle=False,
+                                     device_normalize=args.native_u8)
+    elif args.loader == "device":
         from dspnet_tpu.data.device_pipeline import DeviceAugIterator
 
         # host decodes raw uint8, resize + normalize run on device — batches

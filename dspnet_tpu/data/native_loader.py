@@ -101,6 +101,7 @@ class NativeMultiTaskIterator:
         host->device traffic, bit-identical images (uint8 -> f32 - mean is
         the exact same arithmetic the C++ does)."""
         self.lib = _load_lib()
+        self._index = index
         self.batch_size = batch_size
         self.data_shape = tuple(data_shape)
         self.enable_aug = enable_aug
@@ -190,10 +191,24 @@ class NativeMultiTaskIterator:
         return {"images": images, "label_det": labels, "seg_label": segs}
 
     def __iter__(self):
+        for batch, _ in self.epoch():
+            yield batch
+
+    def epoch(self):
+        """(batch, fnames) pairs — MultiTaskIterator.epoch contract. Batch i
+        maps to positions i*B:(i+1)*B of the order passed to dl_start_epoch
+        (the C++ side emits batches in deterministic order, worker_main's
+        next_emit sequencing)."""
         if self._consumed:
             self.reset()
+        order = self.order[self.positions]
+        B = self.batch_size
         while self._consumed < self.num_batches:
-            yield self.next_batch()
+            i = self._consumed
+            batch = self.next_batch()
+            names = [self._index[int(j)].image_path
+                     for j in order[i * B:(i + 1) * B]]
+            yield batch, names
 
     def close(self):
         if self.handle:

@@ -65,3 +65,19 @@ def test_native_u8_device_normalize_parity(dataset):
     finally:
         f32.close()
         u8.close()
+
+
+def test_native_epoch_yields_fnames(dataset):
+    # epoch() pairs each batch with its image paths in emitted order
+    it = NativeMultiTaskIterator(dataset, batch_size=2, data_shape=(64, 128),
+                                 enable_aug=False, shuffle=False, num_threads=2)
+    try:
+        seen = []
+        for batch, names in it.epoch():
+            assert len(names) == 2
+            assert batch["images"].shape == (2, 64, 128, 3)
+            seen.extend(names)
+        expected = [dataset[i].image_path for i in range(len(seen))]
+        assert seen == expected
+    finally:
+        it.close()
