@@ -49,8 +49,12 @@ def multibox_prior(
     sizes = list(sizes)
     ratios = list(ratios)
     assert len(sizes) > 0 and len(ratios) > 0
-    step_y = steps[0] if steps[0] > 0 else 1.0 / feat_height
-    step_x = steps[1] if steps[1] > 0 else 1.0 / feat_width
+    if steps[0] > 0 and steps[1] > 0:
+        step_y, step_x = steps[0], steps[1]
+    else:
+        # reference resets BOTH steps when either is unset
+        # (multibox_prior-inl.h: `if (steps_[0] <= 0 || steps_[1] <= 0)`)
+        step_y, step_x = 1.0 / feat_height, 1.0 / feat_width
 
     # Per-cell half-extents, in the reference's emission order.
     aspect = feat_height / float(feat_width)  # pixel-square correction
@@ -82,7 +86,9 @@ def multibox_prior(
 @lru_cache(maxsize=64)
 def _cached_priors(key) -> np.ndarray:
     (fh, fw, sizes, ratios, steps, offsets, clip) = key
-    return multibox_prior(fh, fw, sizes, ratios, steps, offsets, clip)
+    arr = multibox_prior(fh, fw, sizes, ratios, steps, offsets, clip)
+    arr.setflags(write=False)  # shared cache entry — callers must copy to mutate
+    return arr
 
 
 def multibox_prior_cached(

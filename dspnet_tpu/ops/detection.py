@@ -69,14 +69,34 @@ def _nms_fixpoint(keep_init, suppress):
     return keep
 
 
-def _decode_topk_single(cls_prob, loc_pred, anchors, threshold, clip, variances, topk):
-    """cls_prob (C, A), loc_pred (A, 5) -> top-K rows before NMS."""
+def _decode_single(cls_prob, loc_pred, anchors, threshold, clip, variances):
+    """cls_prob (C, A), loc_pred (A, 5) -> per-anchor (valid, id, score,
+    boxes, dist) in anchor order (the compaction order of
+    multibox_detection.cc:94-128)."""
     fg = cls_prob[1:]  # foreground classes
     score = jnp.max(fg, axis=0)
     cid = jnp.argmax(fg, axis=0).astype(jnp.float32)  # 0-based object class
     valid = score >= threshold
-
     dec_boxes, dec_dist = box_ops.decode_locations(anchors, loc_pred, variances, clip)
+    return valid, cid, score, dec_boxes, dec_dist
+
+
+def _mask_invalid(valid, cid, score, boxes, dist):
+    """Non-detections become all -1 rows (the reference's -1-initialized
+    output buffer, multibox_detection.cc:94-95)."""
+    return (
+        valid,
+        jnp.where(valid, cid, -1.0),
+        jnp.where(valid, score, -1.0),
+        jnp.where(valid[:, None], boxes, -1.0),
+        jnp.where(valid, dist, -1.0),
+    )
+
+
+def _decode_topk_single(cls_prob, loc_pred, anchors, threshold, clip, variances, topk):
+    """cls_prob (C, A), loc_pred (A, 5) -> top-K rows before NMS."""
+    valid, cid, score, dec_boxes, dec_dist = _decode_single(
+        cls_prob, loc_pred, anchors, threshold, clip, variances)
 
     # Stable order: valid rows by descending score (anchor index breaks ties,
     # matching std::stable_sort over the anchor-ordered compaction), then
@@ -85,12 +105,13 @@ def _decode_topk_single(cls_prob, loc_pred, anchors, threshold, clip, variances,
     order = jnp.argsort(sort_key, stable=True)
     top = order[:topk]
 
-    k_valid = jnp.take(valid, top)
-    k_id = jnp.where(k_valid, jnp.take(cid, top), -1.0)
-    k_score = jnp.where(k_valid, jnp.take(score, top), -1.0)
-    k_boxes = jnp.where(k_valid[:, None], jnp.take(dec_boxes, top, axis=0), -1.0)
-    k_dist = jnp.where(k_valid, jnp.take(dec_dist, top), -1.0)
-    return k_valid, k_id, k_score, k_boxes, k_dist
+    return _mask_invalid(
+        jnp.take(valid, top),
+        jnp.take(cid, top),
+        jnp.take(score, top),
+        jnp.take(dec_boxes, top, axis=0),
+        jnp.take(dec_dist, top),
+    )
 
 
 def _nms_xla_single(k_valid, k_id, k_boxes, nms_threshold, force_suppress, topk):
@@ -139,7 +160,9 @@ def multibox_detection(
       (B, K, 7) rows ``[class_id, score, xmin, ymin, xmax, ymax, dist]`` with
       K = nms_topk (or A if nms_topk <= 0); non-detections/suppressed rows
       carry class_id -1 (suppressed rows keep their score/box like the
-      reference).
+      reference). With NMS disabled (nms_threshold <= 0 or > 1) the
+      reference skips sort/top-K too (multibox_detection.cc:130-133), so the
+      output is (B, A, 7) in anchor order, untruncated.
     """
     if anchors.ndim == 3:
         anchors = anchors[0]
@@ -151,8 +174,37 @@ def multibox_detection(
         loc_preds = jnp.concatenate(
             [loc_preds, jnp.zeros_like(loc_preds[..., :1])], axis=-1
         )
+    nms_on = 0.0 < nms_threshold <= 1.0
+    # NOTE nms_topk <= 0 means "no truncation" (reference semantics); with
+    # NMS on, the XLA backend then builds (A, A) IoU/suppression matrices
+    # per batch element (~600 MB f32 at A=12264) — fine for small A, an HBM
+    # hazard at full resolution. Keep the default K=400 for big anchor sets.
     topk = nms_topk if nms_topk > 0 else num_anchors
     topk = min(topk, num_anchors)
+
+    if not nms_on:
+        # Reference skips sort, top-K, and NMS entirely when the NMS
+        # threshold is unset (multibox_detection.cc:130-133 'continue'):
+        # every thresholded row stays, compacted to the top in anchor order
+        # (the atomic compaction of :94-128), no truncation.
+        def decode_all(c, l):
+            valid, cid, score, dec_boxes, dec_dist = _decode_single(
+                c, l, anchors.astype(jnp.float32), threshold, clip, variances)
+            order = jnp.argsort(~valid, stable=True)  # valid first, anchor order
+            return _mask_invalid(
+                jnp.take(valid, order),
+                jnp.take(cid, order),
+                jnp.take(score, order),
+                jnp.take(dec_boxes, order, axis=0),
+                jnp.take(dec_dist, order),
+            )
+
+        _, k_id, k_score, k_boxes, k_dist = jax.vmap(decode_all)(
+            cls_prob.astype(jnp.float32), loc_preds.astype(jnp.float32))
+        return jnp.concatenate(
+            [k_id[..., None], k_score[..., None], k_boxes, k_dist[..., None]],
+            axis=-1,
+        )
 
     decode = partial(
         _decode_topk_single,
@@ -166,7 +218,7 @@ def multibox_detection(
         cls_prob.astype(jnp.float32), loc_preds.astype(jnp.float32)
     )
 
-    if 0.0 < nms_threshold <= 1.0:
+    if nms_on:
         if nms_backend == "pallas":
             from dspnet_tpu.ops.nms_pallas import nms_keep_mask
 

@@ -36,8 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+from dspnet_tpu.ops.nms_pallas import _round_up  # noqa: E402
 
 
 def _match_kernel(

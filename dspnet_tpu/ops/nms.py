@@ -71,17 +71,9 @@ def nms_jax(dets, thresh: float):
     row = jnp.arange(n)
     # strictly > matches nms() / detect/nms.py (keep ties at exactly thresh)
     suppress = (row[:, None] < row[None, :]) & (ovr > thresh)
+    from dspnet_tpu.ops.detection import _nms_fixpoint
 
-    def cond(state):
-        return state[1]
-
-    def body(state):
-        keep, _ = state
-        hit = (keep.astype(jnp.float32) @ suppress.astype(jnp.float32)) > 0.0
-        new_keep = ~hit
-        return new_keep, jnp.any(new_keep != keep)
-
-    keep_sorted, _ = jax.lax.while_loop(cond, body, (jnp.ones((n,), bool), jnp.array(True)))
+    keep_sorted = _nms_fixpoint(jnp.ones((n,), bool), suppress)
     # Scatter back to original row order.
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep

@@ -159,7 +159,13 @@ def _target_single(
     row_best_iou = jnp.max(masked_iou, axis=1)
     final_gt = jnp.where(pos1, match_gt, row_best_gt)
     final_iou = jnp.where(pos1, match_iou, row_best_iou)
-    positive = pos1 | ((~pos1) & (row_best_iou > overlap_threshold))
+    if overlap_threshold > 0:
+        positive = pos1 | ((~pos1) & (row_best_iou > overlap_threshold))
+    else:
+        # reference gates the whole threshold-matching phase on
+        # overlap_threshold > 0 (multibox_target.cc:151) — bipartite
+        # matches only
+        positive = pos1
     num_pos = jnp.sum(positive).astype(jnp.int32)
 
     # Phase 3: negatives.

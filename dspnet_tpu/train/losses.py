@@ -41,7 +41,7 @@ def smooth_l1(x, scalar: float = 1.0):
 def cls_loss_valid(cls_logits, cls_target):
     """(B, A, C) logits vs (B, A) targets; ignore -1; 'valid' normalization.
     Returns (loss, valid_count)."""
-    valid = cls_target >= 0
+    valid = cls_target != CLS_IGNORE
     tgt = jnp.maximum(cls_target, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(cls_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]

@@ -15,8 +15,10 @@ import numpy as np
 
 def multibox_prior_oracle(fh, fw, sizes, ratios, steps=(-1.0, -1.0), offsets=(0.5, 0.5), clip=False):
     """Oracle for operator/multibox_prior.cc:30-71 (+-inl.h:119-128)."""
-    step_y = steps[0] if steps[0] > 0 else 1.0 / fh
-    step_x = steps[1] if steps[1] > 0 else 1.0 / fw
+    if steps[0] > 0 and steps[1] > 0:
+        step_y, step_x = steps[0], steps[1]
+    else:  # C++ resets BOTH when either is unset (multibox_prior-inl.h)
+        step_y, step_x = 1.0 / fh, 1.0 / fw
     out = []
     for r in range(fh):
         cy = (r + offsets[0]) * step_y

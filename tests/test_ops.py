@@ -31,6 +31,8 @@ RESNET50_512 = dict(
         (3, 3, [0.5], [1.0], (-1, -1), True),
         (2, 5, [0.1, 0.141], [1, 2, 0.5, 3, 1.0 / 3], (0.25, 0.125), False),
         (1, 2, [0.88, 0.961], [1, 2, 0.5], (-1, -1), False),
+        # mixed-sign steps: C++ resets BOTH to 1/f (multibox_prior-inl.h)
+        (4, 6, [0.3], [1, 2], (0.5, -1.0), False),
     ],
 )
 def test_multibox_prior_matches_oracle(fh, fw, sizes, ratios, steps, clip):
@@ -176,6 +178,48 @@ def test_multibox_detection_topk_prefix(rng):
         cls_prob, loc_pred, anchors, threshold=0.0, nms_threshold=0.5, nms_topk=K,
     )
     np.testing.assert_allclose(got[:, :K], want[:, :K], rtol=1e-4, atol=1e-5)
+
+
+def test_multibox_detection_nms_disabled_matches_oracle(rng):
+    """nms_threshold <= 0: reference skips sort/top-K/NMS entirely
+    (multibox_detection.cc:130-133) — all rows compacted in anchor order."""
+    B, C, A = 2, 4, 40
+    anchors = _random_corners(rng, A)
+    logits = rng.randn(B, C, A).astype(np.float32)
+    cls_prob = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    loc_pred = (rng.randn(B, A, 5) * 0.2).astype(np.float32)
+    got = np.asarray(
+        det_ops.multibox_detection(
+            jnp.asarray(cls_prob), jnp.asarray(loc_pred), jnp.asarray(anchors),
+            threshold=0.3, nms_threshold=-1.0, nms_topk=5,  # topk must be moot
+        )
+    )
+    want = oracles.multibox_detection_oracle(
+        cls_prob, loc_pred, anchors, threshold=0.3, nms_threshold=-1.0, nms_topk=5,
+    )
+    assert got.shape == (B, A, 7)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_multibox_target_zero_overlap_threshold_bipartite_only(rng):
+    """overlap_threshold <= 0 gates off threshold matching entirely
+    (multibox_target.cc:151) — only bipartite matches become positive."""
+    A, L, B, C = 80, 8, 2, 5
+    anchors = _random_corners(rng, A)
+    labels = _make_labels(rng, B, L, 4, C - 1)
+    cls_preds = rng.randn(B, C, A).astype(np.float32)
+    got = target_ops.multibox_target(
+        jnp.asarray(anchors), jnp.asarray(labels), jnp.asarray(cls_preds),
+        overlap_threshold=0.0, negative_mining_ratio=3.0,
+    )
+    want = oracles.multibox_target_oracle(
+        anchors, labels, cls_preds, overlap_threshold=0.0,
+        negative_mining_ratio=3.0,
+    )
+    np.testing.assert_array_equal(np.asarray(got[2]), want[2])
+    np.testing.assert_array_equal(np.asarray(got[1]), want[1])
+    # at most one bipartite positive per valid GT
+    assert (np.asarray(got[2]) > 0).sum() <= 2 * 4
 
 
 # ---------------------------------------------------------------- plain NMS
