@@ -84,6 +84,9 @@ def main(argv=None):
         bundle.model, MultiTaskSolver.detector_variables(state), bundle.anchors,
         (H, W), classes=class_names,
         nms_thresh=args.nms_thresh, score_threshold=0.01,
+        # the PNG writer wants probabilities (bilinear prob upsampling,
+        # multi_eval.py:28-34); otherwise skip the 20x D2H cost
+        seg_probabilities=bool(args.write_results),
     )
 
     index = resolve_dataset(args, "val")

@@ -17,6 +17,13 @@ Exact behavioral port of the reference iterator's augmentation
   ymax<.01 / ymin>.99) -> row cleared to -1 and survivors compacted to the
   top (iterator.py:522-539).
 
+Documented deviation: when EXACTLY ONE box survives filtering, the
+reference's `np.squeeze(...)` collapses the (1, 6) row to shape (6,) and the
+following assignment broadcasts it into six duplicate label rows
+(iterator.py:535-539). We keep the compaction 2-D and emit the single row
+once — the duplicates are a reference bug (they would sextuple that box's
+weight in target matching), not a behavior to replicate.
+
 Host path uses cv2.warpAffine like the reference. A batched JAX version of
 the same warp (for on-device augmentation overlapped with the train step)
 lives in :func:`warp_affine_batch_jax`.

@@ -236,8 +236,9 @@ class DeviceAugIterator:
                 seg_arr = None
                 if any(s is not None for s in segs):
                     hw = next(s.shape for s in segs if s is not None)
+                    # maskless samples fill with 255 (ignore), not 0 (road)
                     seg_arr = np.stack([
-                        s if s is not None else np.zeros(hw, np.uint8)
+                        s if s is not None else np.full(hw, 255, np.uint8)
                         for s in segs
                     ]).astype(np.uint8)
                 yield {

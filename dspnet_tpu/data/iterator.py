@@ -163,9 +163,8 @@ class MultiTaskIterator:
         self.cursor = 0
 
     def __iter__(self) -> Iterator:
-        self.reset()
-        while self.cursor + self.batch_size <= len(self.positions):
-            yield self.next_batch()[0]
+        for batch, _ in self.epoch():
+            yield batch
 
     def epoch(self) -> Iterator:
         """Like __iter__ but yields (batch, fnames) pairs (reference next())."""
@@ -182,7 +181,10 @@ class MultiTaskIterator:
         bs = self.batch_size
         images = np.zeros((bs, H, W, 3), np.float32)
         labels = np.full((bs, MAX_OBJECTS, LABEL_WIDTH), -1.0, np.float32)
-        segs = np.zeros((bs, H // 4, W // 4), np.int32)
+        # samples without a mask must contribute NO seg loss: fill with the
+        # ignore label, not 0 ('road') — a zero fill silently trains the seg
+        # head toward road for every maskless image in a mixed batch
+        segs = np.full((bs, H // 4, W // 4), 255, np.int32)
         has_seg = False
         fnames: List[str] = []
         for b in range(bs):

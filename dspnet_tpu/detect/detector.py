@@ -50,14 +50,21 @@ class Detector:
         nms_topk: int = 400,
         score_threshold: float = 0.01,
         mesh=None,
+        seg_probabilities: bool = False,
     ):
         """``mesh``: a `jax.sharding.Mesh` with a 'data' axis — serving
         batches shard over it (params replicated), scaling throughput
-        linearly with chip count over ICI. Batch size must divide the data
-        axis; single-chip behavior is unchanged when None."""
+        linearly with chip count over ICI. Batches whose size doesn't divide
+        the data axis are padded on device and sliced back (so batch-1
+        serving works on any mesh); single-chip behavior is unchanged when
+        None. ``seg_probabilities``: also return the full (B, H/4, W/4, C)
+        softmax as ``seg_prob`` — needed only by the Cityscapes result-PNG
+        writer, and ~20x more device->host bytes than the argmax map, so
+        off by default."""
         self.model = model
         self.variables = variables
         self.mesh = mesh
+        self.seg_probabilities = seg_probabilities
         self.anchors = jnp.asarray(anchors, jnp.float32)
         self.data_shape = tuple(data_shape)
         self.mean_pixels = mean_pixels
@@ -102,7 +109,8 @@ class Detector:
             results["det"] = det
         if "seg_logits" in out:
             results["seg"] = jnp.argmax(out["seg_logits"], axis=-1)
-            results["seg_prob"] = jax.nn.softmax(out["seg_logits"], axis=-1)
+            if self.seg_probabilities:
+                results["seg_prob"] = jax.nn.softmax(out["seg_logits"], axis=-1)
         return results
 
     def _forward_raw(self, variables, raw_bgr):
@@ -121,13 +129,29 @@ class Detector:
         img = cv2.resize(img_bgr, (w, h), interpolation=cv2.INTER_LINEAR)
         return img[:, :, ::-1].astype(np.float32) - np.asarray(self.mean_pixels, np.float32)
 
+    def _run_padded(self, fn, batch):
+        """Pad the batch to a multiple of the mesh's data axis (repeat of the
+        last row) and slice results back — lets any batch size, including 1,
+        run on a multi-chip mesh."""
+        if self.mesh is None:
+            return fn(self.variables, jnp.asarray(batch))
+        n = self.mesh.shape["data"]
+        B = batch.shape[0]
+        pad = (-B) % n
+        if pad:
+            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
+        res = fn(self.variables, jnp.asarray(batch))
+        if pad:
+            res = {k: v[:B] for k, v in res.items()}
+        return res
+
     def predict(self, images: np.ndarray):
         """images (B, H, W, 3) preprocessed float -> jitted forward results."""
-        return self._predict(self.variables, jnp.asarray(images))
+        return self._run_padded(self._predict, np.asarray(images))
 
     def predict_raw(self, raw_bgr: np.ndarray):
         """raw (B, H, W, 3) uint8 BGR at data_shape -> jitted forward results."""
-        return self._predict_raw(self.variables, jnp.asarray(raw_bgr))
+        return self._run_padded(self._predict_raw, np.asarray(raw_bgr))
 
     @staticmethod
     def _filter_rows(rows: np.ndarray, det_threshold: float) -> np.ndarray:
@@ -181,14 +205,15 @@ class Detector:
                 seg_rgb[:, :, ::-1], (width, height), interpolation=cv2.INTER_NEAREST
             )
             img = cv2.addWeighted(img, 1.0 - seg_alpha, seg_bgr, seg_alpha, 0)
-        random.seed(1)  # stable per-class colors like the reference (:356)
+        rng = random.Random(1)  # stable per-class colors like the reference
+        # (:356) without reseeding the process-global random module
         colors = {}
         rows = [r for r in np.asarray(dets) if r[0] >= 0 and r[1] >= thresh]
         rows.sort(key=lambda r: -r[6])  # farthest first, nearest on top (:365)
         for r in rows:
             cid = int(r[0])
             if cid not in colors:
-                colors[cid] = (random.randint(0, 255), random.randint(0, 255), random.randint(0, 255))
+                colors[cid] = (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
             xmin = int(r[2] * width)
             ymin = int(r[3] * height)
             xmax = int(r[4] * width)

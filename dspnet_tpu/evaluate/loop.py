@@ -149,9 +149,15 @@ def evaluate_model(
         dist_metric.save_errors(dist_errors_path)
 
     results: Dict[str, float] = {}
-    for metric in (map_metric, iou_metric, acc_metric, dist_metric):
+    # Per-class entries are namespaced: the metrics all key by bare class
+    # name and det classes are a subset of the seg classes, so a flat
+    # update() would overwrite per-class AP with IoU and then derror.
+    headline = {"mAP", "mIoU", "accuracy", "derror"}
+    for metric, prefix in ((map_metric, "ap_"), (iou_metric, "iou_"),
+                           (acc_metric, ""), (dist_metric, "derror_")):
         try:
-            results.update(metric.get_dict())
+            for k, v in metric.get_dict().items():
+                results[k if k in headline else prefix + k] = v
         except Exception:  # a broken metric must not abort the others,
             import logging  # but silence would read as "not computed"
 

@@ -400,7 +400,9 @@ void process_one(Loader* L, int cursor, int slot, Batch* batch) {
       }
     }
   } else {
-    std::memset(out_seg, 0, size_t(H / 4) * (W / 4) * sizeof(int32_t));
+    // maskless sample: ignore label 255, NOT 0 — a zero fill would train
+    // the seg head toward 'road' for this image
+    std::fill(out_seg, out_seg + size_t(H / 4) * (W / 4), 255);
   }
 }
 

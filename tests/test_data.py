@@ -204,3 +204,22 @@ def test_sharding_uniform_batch_count(tmp_path):
     counts = {r: sum(1 for _ in MultiTaskIterator(index, shard=(r, 2), **kw))
               for r in range(2)}
     assert counts[0] == counts[1] == 1  # 7 // 2 = 3 local samples -> 1 batch
+
+
+def test_mixed_batch_maskless_sample_gets_ignore_label(tmp_path):
+    # a sample without a seg mask must contribute 255 (ignore), never 0
+    index = synthetic.build_dataset(str(tmp_path), num_samples=2, hw=(64, 128))
+    from dspnet_tpu.data.iterator import Sample, SampleIndex
+
+    s0, s1 = index[0], index[1]
+    mixed = SampleIndex([s0, Sample(s1.image_path, s1.label, None)])
+    it = MultiTaskIterator(mixed, 2, (64, 128), enable_aug=False, shuffle=False)
+    batch, _ = it.next_batch()
+    assert np.all(batch["seg_label"][1] == 255)
+    assert np.any(batch["seg_label"][0] != 255)
+
+    from dspnet_tpu.data.device_pipeline import DeviceAugIterator
+
+    dit = DeviceAugIterator(mixed, 2, (64, 128), enable_aug=False, shuffle=False)
+    dbatch, _ = next(dit.epoch())
+    assert np.all(np.asarray(dbatch["seg_label"][1]) == 255)

@@ -147,6 +147,10 @@ def test_evaluate_model_instance_eval(tmp_path):
                            enable_aug=False, shuffle=False)
     res = evaluate_model(GtStub(), it, instance_eval=True)
     assert "instAP" in res and "instAP50" in res
+    # per-class keys are namespaced per metric (det classes are a subset of
+    # seg classes; a flat merge would collide)
+    assert "ap_car" in res and "iou_road" in res and "derror_car" in res
+    assert "car" not in res
     # perfect boxes -> high AP50; occluded (overwritten) GT rects cost a bit
     assert res["instAP50"] > 0.5, res
     assert 0.0 < res["instAP"] <= 1.0

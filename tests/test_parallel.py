@@ -73,3 +73,30 @@ def test_detector_mesh_sharded_inference():
     r1 = det_one.predict_raw(raw)
     np.testing.assert_allclose(np.asarray(rm["det"]), np.asarray(r1["det"]), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(rm["seg"]), np.asarray(r1["seg"]))
+
+
+def test_detector_mesh_pads_small_batches():
+    """Batch sizes that don't divide the data axis (incl. b1 serving /
+    im_detect_single) are padded on the host and sliced back."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dspnet_tpu.api import create_model
+    from dspnet_tpu.detect.detector import Detector
+    from dspnet_tpu.parallel.mesh import make_mesh
+
+    H, W = 128, 256
+    bundle = create_model("resnet-18_multi", (H, W), num_classes=8)
+    variables = jax.jit(lambda r, x: bundle.model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    mesh = make_mesh(n_data=4)
+    det_mesh = Detector(bundle.model, variables, bundle.anchors, (H, W), mesh=mesh)
+    det_one = Detector(bundle.model, variables, bundle.anchors, (H, W))
+    raw = np.random.RandomState(1).randint(0, 255, (3, H, W, 3)).astype(np.uint8)
+    rm = det_mesh.predict_raw(raw)
+    r1 = det_one.predict_raw(raw)
+    assert np.asarray(rm["det"]).shape[0] == 3
+    np.testing.assert_allclose(np.asarray(rm["det"]), np.asarray(r1["det"]), atol=1e-5)
+    dets, seg = det_mesh.im_detect_single(raw[0])  # b1 on a 4-chip mesh
+    assert seg.shape == (H // 4, W // 4)
