@@ -5,8 +5,10 @@ Measures the BASELINE.md north-star metric: images/sec/chip for the full
 head + on-device decode+NMS + seg argmax) on the attached TPU.
 
 Serving configuration: bfloat16 weights/activations on the MXU (box decode,
-NMS, and softmax stay float32), Pallas fused-NMS backend. Default batch 128
-maximizes throughput/chip (b32 ~1092, b64 ~1265, b128 ~1338 img/s on v5e);
+NMS, and softmax stay float32), Pallas fused-NMS backend, seg_fast head
+(score conv at native stream resolutions — dspnet_tpu/models/seg_head.py;
+~1726 img/s vs 1339 reference-exact at b128 on v5e; set BENCH_SEG_EXACT=1
+for the reference-exact head). Default batch 128 maximizes throughput/chip;
 pass a smaller batch as argv[1] for latency-oriented serving.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -28,10 +30,14 @@ def main():
     from dspnet_tpu.ops.detection import multibox_detection
     from dspnet_tpu.utils.precision import bf16_variables
 
+    import os
+
     H = W = 512
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     on_tpu = jax.devices()[0].platform != "cpu"
-    bundle = create_model("resnet-50_multi", (H, W), num_classes=8)
+    seg_fast = not os.environ.get("BENCH_SEG_EXACT")
+    bundle = create_model("resnet-50_multi", (H, W), num_classes=8,
+                          seg_fast=seg_fast)
     model = bundle.model
     anchors = jnp.asarray(bundle.anchors)
 

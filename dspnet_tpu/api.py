@@ -53,6 +53,7 @@ def create_model(
     num_classes: int = 8,
     seg_classes: int = 19,
     remat: bool = False,
+    seg_fast: bool = False,
 ) -> ModelBundle:
     """Build a model bundle.
 
@@ -71,7 +72,7 @@ def create_model(
         anchors = factory.build_anchors(cfg, data_shape)
     else:
         model = DSPNet(cfg=cfg, num_classes=num_classes, seg_classes=seg_classes,
-                       task=task, remat=remat)
+                       task=task, remat=remat, seg_fast=seg_fast)
         anchors = (
             factory.build_anchors(cfg.drop_first_tap(), data_shape) if task != "seg" else None
         )

@@ -23,6 +23,8 @@ from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_pre
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="DSPNet demo (TPU).")
     p.add_argument("--network", default="resnet-50_multi")
+    p.add_argument("--seg-fast", action="store_true",
+                   help="model was trained with --seg-fast")
     p.add_argument("--images", default="", help="comma-separated image paths or video")
     p.add_argument("--data-shape", default="3,512,1024")
     p.add_argument("--num-classes", type=int, default=8)
@@ -42,7 +44,8 @@ def parse_args(argv=None):
 
 def get_detector(args) -> Detector:
     H, W = args.data_shape
-    bundle = create_model(args.network, (H, W), args.num_classes)
+    bundle = create_model(args.network, (H, W), args.num_classes,
+                          seg_fast=args.seg_fast)
     from dspnet_tpu.train.solver import MultiTaskSolver
 
     solver = MultiTaskSolver(bundle.model, bundle.anchors if bundle.anchors is not None

@@ -28,6 +28,8 @@ from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_pre
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Evaluate a DSPNet network (TPU).")
     p.add_argument("--network", default="resnet-50_multi")
+    p.add_argument("--seg-fast", action="store_true",
+                   help="model was trained with --seg-fast")
     p.add_argument("--data-shape", default="3,512,1024")
     p.add_argument("--num-classes", type=int, default=8)
     p.add_argument("--class-names", default="",
@@ -69,7 +71,8 @@ def main(argv=None):
     args = parse_args(argv)
     log = setup_logging(log_file=time.strftime("eval_%Y%m%d_%H%M%S.log"))
     H, W = args.data_shape
-    bundle = create_model(args.network, (H, W), args.num_classes)
+    bundle = create_model(args.network, (H, W), args.num_classes,
+                          seg_fast=args.seg_fast)
 
     solver = MultiTaskSolver(bundle.model, bundle.anchors if bundle.anchors is not None
                              else np.zeros((1, 4), np.float32))

@@ -68,6 +68,10 @@ def parse_args(argv=None):
                    help="with --loader native: transfer the warped batch as "
                         "uint8 and mean-sub on device (4x less H2D, "
                         "bit-identical images)")
+    p.add_argument("--seg-fast", action="store_true",
+                   help="seg score conv at native stream resolutions "
+                        "(FCN-style score-then-upsample) — faster, different "
+                        "numerics; use the same flag at eval/demo time")
     p.add_argument("--remat", action="store_true",
                    help="per-unit rematerialization (jax.checkpoint) — trades "
                         "FLOPs for HBM; faster when activations spill "
@@ -81,7 +85,8 @@ def main(argv=None):
     args = parse_args(argv)
     log = setup_logging()
     H, W = args.data_shape
-    bundle = create_model(args.network, (H, W), args.num_classes, remat=args.remat)
+    bundle = create_model(args.network, (H, W), args.num_classes, remat=args.remat,
+                          seg_fast=args.seg_fast)
     log.info("network=%s task=%s anchors=%d data=%dx%d",
              bundle.name, bundle.task, bundle.num_anchors, H, W)
 

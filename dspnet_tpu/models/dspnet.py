@@ -41,6 +41,7 @@ class DSPNet(nn.Module):
     task: str = "multi"
     loc_channels: int = 5
     remat: bool = False
+    seg_fast: bool = False  # score conv at native stream res (SegHead.fast)
 
     @nn.compact
     def __call__(self, images, train: bool = False) -> Dict[str, Any]:
@@ -75,7 +76,8 @@ class DSPNet(nn.Module):
             out["cls_logits"] = cls_logits
         if self.task in ("seg", "multi"):
             h, w = images.shape[1], images.shape[2]
-            out["seg_logits"] = SegHead(self.seg_classes, name="seg")(
+            out["seg_logits"] = SegHead(self.seg_classes, fast=self.seg_fast,
+                                        name="seg")(
                 res3, res4, conv_feat, (h // 8, w // 8), train
             )
         return out

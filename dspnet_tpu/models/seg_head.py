@@ -33,16 +33,29 @@ from dspnet_tpu.models.layers import (
 
 
 class _ConcatConv3x3(nn.Module):
-    """3x3 conv over a channel-concatenation, computed as the sum of per-slice
-    convs — exact same math (conv distributes over channel concat) and the
-    SAME parameter (one (3,3,sum(C_i),features) kernel at <name>/kernel, like
-    nn.Conv), but the (B, H/8, W/8, 3320) concat tensor never hits HBM:
-    ~2 ms/batch32 saved at 512x512 on v5e."""
+    """3x3 conv over a channel-concatenation of multi-resolution streams,
+    computed as the sum of per-slice convs — same parameter layout (one
+    (3,3,sum(C_i),features) kernel at <name>/kernel, like nn.Conv over the
+    concat), and the (B, H/8, W/8, 3320) concat tensor never hits HBM:
+    ~2 ms/batch32 saved at 512x512 on v5e.
+
+    ``fast=False`` (default, reference-exact): every stream is bilinear-
+    resized to ``grid_hw`` first, then convolved — conv distributes over the
+    channel concat, so this is bitwise the builder.py:574-584 graph.
+
+    ``fast=True`` (opt-in variant): each stream is convolved at its NATIVE
+    resolution and the ``features``-channel partial result is resized to
+    ``grid_hw`` before summing — FCN-style score-then-upsample. The top
+    (2048-channel, H/32) stream dominates the concat, so this cuts the
+    score-conv MXU work ~9x at resnet-50/512. Different numerics from the
+    reference (conv and resize don't commute); train and eval with the same
+    setting. Parameter shapes are identical in both modes."""
 
     features: int
+    fast: bool = False
 
     @nn.compact
-    def __call__(self, streams):
+    def __call__(self, streams, grid_hw):
         total_c = sum(s.shape[-1] for s in streams)
         kernel = self.param(
             "kernel",
@@ -53,6 +66,8 @@ class _ConcatConv3x3(nn.Module):
         out = None
         off = 0
         for s in streams:
+            if not self.fast:
+                s = resize_bilinear_align_corners(s, grid_hw)
             c = s.shape[-1]
             k = jax.lax.slice_in_dim(kernel, off, off + c, axis=2).astype(s.dtype)
             y = jax.lax.conv_general_dilated(
@@ -60,6 +75,8 @@ class _ConcatConv3x3(nn.Module):
                 dimension_numbers=jax.lax.conv_dimension_numbers(
                     s.shape, k.shape, dn),
             )
+            if self.fast and y.shape[1:3] != tuple(grid_hw):
+                y = resize_bilinear_align_corners(y, grid_hw)
             # sum the partial outputs in f32 so bf16 mode accumulates like
             # the single nn.Conv this replaces (per-conv accumulation is f32
             # inside the MXU either way; preferred_element_type=f32 is not
@@ -72,6 +89,7 @@ class _ConcatConv3x3(nn.Module):
 
 class SegHead(nn.Module):
     seg_classes: int = 19
+    fast: bool = False  # see _ConcatConv3x3.fast
 
     @nn.compact
     def __call__(self, res3, res4, conv_feat, grid_hw, train: bool = False):
@@ -100,7 +118,7 @@ class SegHead(nn.Module):
         s1 = BatchNorm(fix_gamma=True, name="score2_pool1_bn")(s1, train)
 
         streams = [s4, s2, s1, r5, r4, r3]  # concat order: builder.py:582
-        resampled = [resize_bilinear_align_corners(s, grid_hw) for s in streams]
-        x = _ConcatConv3x3(self.seg_classes, name="score3_conv")(resampled)
+        x = _ConcatConv3x3(self.seg_classes, fast=self.fast,
+                           name="score3_conv")(streams, grid_hw)
         x = BatchNorm(fix_gamma=True, name="score3_conv_bn")(x, train)
         return Deconv2x(self.seg_classes, name="score4_conv")(x)

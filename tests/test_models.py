@@ -159,3 +159,24 @@ def test_deconv2x_bilinear_init():
     # constant input -> constant interior (proper partition of unity)
     yc = np.asarray(m.apply(v, jnp.ones((1, 6, 6, 2))))
     np.testing.assert_allclose(yc[0, 2:-2, 2:-2], 1.0, atol=1e-6)
+
+
+def test_seg_fast_variant_same_params_and_shapes():
+    """seg_fast=True (score-then-upsample) keeps the exact parameter tree of
+    the reference-exact head, so checkpoints are shape-compatible."""
+    import jax
+
+    from dspnet_tpu.api import create_model
+
+    x = jnp.ones((1, 128, 256, 3), jnp.float32)
+    exact = create_model("resnet-18_multi", (128, 256))
+    fast = create_model("resnet-18_multi", (128, 256), seg_fast=True)
+    ve = jax.jit(lambda r: exact.model.init(r, x, train=False))(jax.random.PRNGKey(0))
+    vf = jax.jit(lambda r: fast.model.init(r, x, train=False))(jax.random.PRNGKey(0))
+    assert jax.tree.map(jnp.shape, ve) == jax.tree.map(jnp.shape, vf)
+    oe = exact.model.apply(ve, x, train=False)
+    of = fast.model.apply(vf, x, train=False)
+    assert oe["seg_logits"].shape == of["seg_logits"].shape
+    # different numerics by design (conv and resize don't commute)
+    assert not np.allclose(np.asarray(oe["seg_logits"]),
+                           np.asarray(of["seg_logits"]), atol=1e-3)
