@@ -127,6 +127,8 @@ def main(argv=None):
     p.add_argument("--epoch", type=int, default=-1)
     p.add_argument("--out", required=True)
     p.add_argument("--bf16", action="store_true", help="serve in bfloat16")
+    p.add_argument("--seg-fast", action="store_true",
+                   help="model was trained with --seg-fast")
     p.add_argument("--pallas-nms", action="store_true",
                    help="use the Pallas NMS kernel (TPU-only artifact)")
     p.add_argument("--random-init", action="store_true",
@@ -143,7 +145,8 @@ def main(argv=None):
     from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_prefix
 
     H, W = parse_data_shape(args.data_shape)
-    bundle = create_model(args.network, (H, W), args.num_classes)
+    bundle = create_model(args.network, (H, W), args.num_classes,
+                          seg_fast=args.seg_fast)
     solver = MultiTaskSolver(
         bundle.model,
         bundle.anchors if bundle.anchors is not None else np.zeros((1, 4), np.float32),
