@@ -66,6 +66,12 @@ def create_model(
         data_shape = (data_shape, data_shape)
     data_shape = (int(data_shape[0]), int(data_shape[1]))
     base, task = parse_network_name(network)
+    if task in ("seg", "multi"):
+        # the seg head emits 2*(H//8) logits vs H//4 labels; they only agree
+        # when both dims divide by 8 (the reference hardcodes /8-divisible
+        # grids, multitask_symbol_builder.py:574-575)
+        assert data_shape[0] % 8 == 0 and data_shape[1] % 8 == 0, (
+            f"seg/multi tasks need data shapes divisible by 8, got {data_shape}")
     cfg = factory.get_config(base, data_shape[0])
     if task == "ssd":
         model = SSDNet(cfg=cfg, num_classes=num_classes, remat=remat)

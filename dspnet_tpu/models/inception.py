@@ -31,7 +31,9 @@ class ConvBN(nn.Module):
             use_bias=False,
             name="conv",
         )(x)
-        x = BatchNorm(fix_gamma=True, name="bn")(x, train)
+        # reference inceptionv3.py:12 passes no eps, so the MXNet default
+        # 1e-3 applies (resnet/seg builders use 2e-5 explicitly)
+        x = BatchNorm(fix_gamma=True, epsilon=1e-3, name="bn")(x, train)
         return nn.relu(x)
 
 

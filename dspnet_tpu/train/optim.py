@@ -31,6 +31,13 @@ def mxnet_sgd(
     weight_decay: float = 5e-4,
     rescale_grad: float = 1.0,
 ) -> optax.GradientTransformation:
+    """Note on wd/lr multipliers: the reference's maintained custom-solver
+    path creates the optimizer with NO param_idx2name and no symbol attrs
+    (multi_solver.py:221-222), so MXNet's name-based wd_mult zeroing and the
+    head builders' __lr_mult__/__wd_mult__ attrs never take effect there —
+    uniform wd over every param, which is exactly what this implements. Only
+    the legacy Module path (train/train_multitask.py) would apply them."""
+
     def init(params):
         return MXSGDState(
             count=jnp.zeros([], jnp.int32),

@@ -35,9 +35,10 @@ class TrainState(struct.PyTreeNode):
 
 
 def freeze_mask(params, pattern: Optional[str]):
-    """Boolean pytree: True where the param trains. ``pattern`` is a regex on
-    '/'-joined param paths (reference multi_train.py:327-331 freezes args
-    whose name matches)."""
+    """Boolean pytree: True where the param trains. ``pattern`` is a regex
+    matched (anchored at the start, like the reference's
+    ``re.compile(pattern).match(name)``, multi_train.py:327-331) against the
+    '/'-joined param path."""
     if not pattern:
         return jax.tree.map(lambda _: True, params)
     rx = re.compile(pattern)
@@ -46,8 +47,7 @@ def freeze_mask(params, pattern: Optional[str]):
     def path_str(path):
         return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
 
-    trainable = {path_str(p): not rx.search(path_str(p)) for p, _ in flat}
-    leaves = [trainable[path_str(p)] for p, _ in flat]
+    leaves = [not rx.match(path_str(p)) for p, _ in flat]
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
@@ -111,7 +111,9 @@ class MultiTaskSolver:
         variables = jax.jit(partial(self.model.init, train=True))(rng, sample_images)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
-        opt_state = self.tx.init(params)
+        # jitted: un-jitted tx.init dispatches one zeros_like per leaf —
+        # hundreds of tiny remote programs over the axon tunnel
+        opt_state = jax.jit(self.tx.init)(params)
         state = TrainState(
             step=jnp.zeros([], jnp.int32),
             params=params,
@@ -194,6 +196,13 @@ class MultiTaskSolver:
                 updates = jax.tree.map(
                     lambda u, m: u if m else jnp.zeros_like(u), updates, mask
                 )
+                # also keep frozen params' momentum at zero — otherwise it
+                # silently integrates grad + weight decay and applies a
+                # spurious jump if the pattern is later removed on resume
+                # (reference fixed_param_names never enters the updater)
+                new_opt = new_opt._replace(momentum=jax.tree.map(
+                    lambda mo, m: mo if m else jnp.zeros_like(mo),
+                    new_opt.momentum, mask))
             new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
             new_state = state.replace(
                 step=state.step + 1,
@@ -303,19 +312,22 @@ class MultiTaskSolver:
 
         for epoch in range(num_epochs):
             agg: Dict[str, Any] = {}
+            counts: Dict[str, int] = {}  # seg keys appear only on seg batches
             n = 0
             for batch in prefetch_to_device(train_iter, size=2, sharding=sharding):
                 state, metrics = self.train_step(state, batch)
                 n += 1
                 # accumulate ON DEVICE — float() here would sync the host
                 # every step and serialize dispatch with device compute
-                agg = {k: agg.get(k, 0.0) + v for k, v in metrics.items()}
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + v
+                    counts[k] = counts.get(k, 0) + 1
                 if n % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}  # sync point
                     log_fn(f"epoch {epoch} batch {n}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
             if n:
                 log_fn(f"epoch {epoch} done: " + ", ".join(
-                    f"{k}={float(v) / n:.4f}" for k, v in agg.items()))
+                    f"{k}={float(v) / counts[k]:.4f}" for k, v in agg.items()))
             if epoch_end_callback is not None:
                 epoch_end_callback(epoch, state)
             # per-epoch validation pass (reference multi_solver.py:355-517)

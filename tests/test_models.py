@@ -127,9 +127,9 @@ def test_concat_conv_equals_conv_of_concat():
     streams = [jax.random.normal(jax.random.PRNGKey(i), (2, 8, 8, c))
                for i, c in enumerate([4, 8, 16])]
     m = _ConcatConv3x3(5)
-    v = m.init(rng, streams)
+    v = m.init(rng, streams, (8, 8))
     assert v["params"]["kernel"].shape == (3, 3, 28, 5)
-    got = m.apply(v, streams)
+    got = m.apply(v, streams, (8, 8))
     ref_conv = nn.Conv(5, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)
     ref = ref_conv.apply({"params": {"kernel": v["params"]["kernel"]}},
                          jnp.concatenate(streams, axis=-1))
