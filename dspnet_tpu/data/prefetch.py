@@ -18,10 +18,13 @@ def prefetch_to_device(iterable, size: int = 2, sharding=None) -> Iterator:
     """Yield batches already resident on device, ``size`` in flight.
 
     ``sharding`` (e.g. a batch NamedSharding) controls placement; None puts
-    on the default device.
+    on the default device. If the consumer abandons the generator (train
+    step raised, caller broke out), the producer thread is released instead
+    of blocking forever on the full queue holding device-resident batches.
     """
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
 
     def put(batch):
         if callable(sharding):
@@ -30,20 +33,35 @@ def prefetch_to_device(iterable, size: int = 2, sharding=None) -> Iterator:
             return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
         return jax.tree.map(jax.device_put, batch)
 
+    def offer(item) -> bool:
+        # bounded put that gives up once the consumer is gone
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer():
         try:
             for batch in iterable:
-                q.put(put(batch))
-            q.put(_END)
+                if not offer(put(batch)):
+                    return
+            offer(_END)
         except BaseException as e:  # surface to the consumer, don't die silently
-            q.put(e)
+            offer(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            break
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5.0)

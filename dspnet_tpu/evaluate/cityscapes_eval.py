@@ -45,14 +45,21 @@ def add_to_confusion_matrix(
 
 
 def add_to_confusion_matrix_jax(prediction, groundtruth, conf):
-    """On-device variant (jnp) for streaming eval without host roundtrips."""
+    """On-device variant (jnp) for streaming eval without host roundtrips.
+
+    NOTE the accumulator dtype is the caller's ``conf``: int32 wraps past
+    2^31 after ~3.5k full-res Cityscapes images on one cell (TPU jnp has no
+    int64 by default) — for long streams, pull per-batch counts to the host
+    and accumulate into an int64 numpy matrix (the per-batch count itself
+    cannot overflow: < 2^31 pixels/batch), or use a float32 accumulator
+    (exact to 2^24 per add, 2^31 total magnitude)."""
     import jax.numpy as jnp
 
     idx = groundtruth.astype(jnp.int32).reshape(-1) * NUM_IDS + prediction.astype(
         jnp.int32
     ).reshape(-1)
     counts = jnp.zeros((NUM_IDS * NUM_IDS,), jnp.int32).at[idx].add(1)
-    return conf + counts.reshape(NUM_IDS, NUM_IDS)
+    return conf + counts.reshape(NUM_IDS, NUM_IDS).astype(conf.dtype)
 
 
 def _eval_label_ids():

@@ -25,7 +25,13 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        assert n_model <= len(devices), (
+            f"n_model={n_model} exceeds {len(devices)} devices")
+        assert len(devices) % n_model == 0, (
+            f"n_model={n_model} does not divide {len(devices)} devices — "
+            "pass n_data explicitly to use a subset")
         n_data = len(devices) // n_model
+    assert n_data >= 1 and n_model >= 1, (n_data, n_model)
     assert n_data * n_model <= len(devices)
     grid = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))

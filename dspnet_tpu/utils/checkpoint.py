@@ -23,6 +23,9 @@ def checkpoint_prefix(model_dir: str, net_name: str, data_height: int) -> str:
 
 class CheckpointManagerWrapper:
     def __init__(self, prefix: str, max_to_keep: Optional[int] = None):
+        # orbax/tensorstore reject relative paths at commit time (from a
+        # background thread, leaving a stale tmp dir) — normalize here
+        prefix = os.path.abspath(prefix)
         self.prefix = prefix
         os.makedirs(prefix, exist_ok=True)
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
@@ -55,6 +58,17 @@ class CheckpointManagerWrapper:
             opt_state=restored["opt_state"],
             step=restored["step"],
         ), epoch
+
+    def restore_raw(self, epoch: Optional[int] = None):
+        """Template-free restore: the stored tree as plain numpy dicts.
+
+        Unlike :meth:`restore`, this never validates against a target state,
+        so a checkpoint from a DIFFERENT architecture/optimizer can be read
+        and partially merged (the transfer-init path)."""
+        if epoch is None:
+            epoch = self.mgr.latest_step()
+        assert epoch is not None, f"no checkpoints under {self.prefix}"
+        return self.mgr.restore(epoch, args=ocp.args.StandardRestore()), epoch
 
     def latest_epoch(self) -> Optional[int]:
         return self.mgr.latest_step()

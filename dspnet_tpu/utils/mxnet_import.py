@@ -12,10 +12,14 @@ Format (mxnet src/ndarray/ndarray.cc NDArray::Save / MXNDArrayLoad):
     uint64 reserved = 0
     uint64 ndarray_count
     per array:
-        uint32 magic — 0xF993fac9 (V2 dense) / 0xF993faca (V3, +int32 stype)
-                       anything else = legacy V1 where that word is the
-                       shape ndim itself
-        shape: uint32 ndim + dims (uint32 legacy / int64 V2+)
+        uint32 magic —
+          0xF993fac8 (V1, "with int64_t TShape"): uint32 ndim + int64 dims
+          0xF993fac9 (V2, "with storage type"):   int32 stype (0 = dense;
+              sparse records carry aux payloads and are rejected), then
+              uint32 ndim + int64 dims
+          0xF993faca (V3, numpy shape semantics): same layout as V2
+          anything else = legacy, where that word IS the ndim and the dims
+              are uint32
         int32 dev_type, int32 dev_id
         int32 type_flag (0 f32, 1 f64, 2 f16, 3 u8, 4 i32, 5 i8, 6 i64)
         raw data bytes
@@ -65,19 +69,19 @@ class _Reader:
 def _read_ndarray(r: _Reader) -> np.ndarray:
     magic = r.read("<I")
     dims64 = False
-    if magic == _V3_MAGIC:
+    if magic in (_V2_MAGIC, _V3_MAGIC):
+        # V2+ carries an int32 storage type right after the magic;
+        # kDefaultStorage == 0, sparse types carry aux payloads we can't
+        # parse as dense
         stype = r.read("<i")
-        assert stype == 1 or stype == 0 or stype == 2, f"unsupported stype {stype}"
-        # kDefaultStorage == 1 in newer enums; sparse unsupported
-        dims64 = True
-        ndim = r.read("<I")
-    elif magic == _V2_MAGIC:
+        assert stype == 0, f"sparse NDArray (stype {stype}) unsupported"
         dims64 = True
         ndim = r.read("<I")
     elif magic == _V1_MAGIC:
+        dims64 = True  # V1 = "with int64_t TShape"
         ndim = r.read("<I")
     else:
-        ndim = magic  # legacy: first word was the ndim
+        ndim = magic  # legacy: first word was the ndim, dims are uint32
     fmt = ("q" if dims64 else "I") * ndim
     if ndim == 0:
         shape = ()
@@ -131,6 +135,7 @@ def save_params(path: str, args: Dict[str, np.ndarray], auxs: Dict[str, np.ndarr
         for _, arr in items:
             arr = np.ascontiguousarray(arr)
             f.write(struct.pack("<I", _V2_MAGIC))
+            f.write(struct.pack("<i", 0))  # stype: kDefaultStorage
             f.write(struct.pack("<I", arr.ndim))
             f.write(struct.pack("<" + "q" * arr.ndim, *arr.shape))
             f.write(struct.pack("<ii", 1, 0))  # cpu(0)

@@ -49,10 +49,15 @@ def init_from_checkpoint(state, checkpoint_dir: str, subtree: str = "backbone",
     from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper
 
     mgr = CheckpointManagerWrapper(checkpoint_dir)
-    restored, _ = mgr.restore(epoch, state)
-    params = merge_param_subtree(state.params, restored.params, subtree)
+    # template-free read: the source checkpoint may come from a DIFFERENT
+    # architecture (other head widths / class counts / optimizer) — a
+    # template-validated restore would reject exactly the cross-model
+    # transfer this function exists for (multi_init.py:50-169)
+    restored, _ = mgr.restore_raw(epoch)
+    params = merge_param_subtree(state.params, restored.get("params", {}), subtree)
     batch_stats = state.batch_stats
-    if batch_stats and restored.batch_stats:
-        batch_stats = merge_param_subtree(dict(batch_stats), dict(restored.batch_stats), subtree)
+    if batch_stats and restored.get("batch_stats"):
+        batch_stats = merge_param_subtree(
+            dict(batch_stats), dict(restored["batch_stats"]), subtree)
     mgr.close()
     return state.replace(params=params, batch_stats=batch_stats)

@@ -60,3 +60,36 @@ def test_merge_param_subtree():
     assert np.all(merged["head"]["w"] == 1)
     with pytest.raises(ValueError):
         merge_param_subtree(params, {"backbone": {"conv": np.ones((2, 2))}})
+
+
+def test_init_from_checkpoint_cross_architecture(tmp_path):
+    """Transfer init must read a checkpoint from a DIFFERENT head config
+    (template-free restore) and merge only the backbone subtree."""
+    import jax
+    import jax.numpy as jnp
+
+    from dspnet_tpu.api import create_model
+    from dspnet_tpu.train.solver import MultiTaskSolver
+    from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper
+    from dspnet_tpu.utils.transfer import init_from_checkpoint
+
+    x = jnp.zeros((1, 64, 128, 3))
+    src = create_model("resnet-18_det", (64, 128), num_classes=8)
+    s_src = MultiTaskSolver(src.model, src.anchors)
+    st_src = s_src.init_state(jax.random.PRNGKey(0), x)
+    ck = CheckpointManagerWrapper(str(tmp_path / "src"))
+    ck.save(0, st_src)
+    ck.close()
+
+    dst = create_model("resnet-18_det", (64, 128), num_classes=20)  # new heads
+    s_dst = MultiTaskSolver(dst.model, dst.anchors)
+    st_dst = s_dst.init_state(jax.random.PRNGKey(1), x)
+    merged = init_from_checkpoint(st_dst, str(tmp_path / "src"))
+    # backbone leaves equal the source checkpoint, heads keep fresh init
+    src_leaf = np.asarray(jax.tree.leaves(st_src.params["backbone"])[0])
+    got_leaf = np.asarray(jax.tree.leaves(merged.params["backbone"])[0])
+    np.testing.assert_array_equal(got_leaf, src_leaf)
+    mb_new = jax.tree.leaves(merged.params["multibox"])
+    mb_dst = jax.tree.leaves(st_dst.params["multibox"])
+    assert all(np.asarray(a).shape == np.asarray(b).shape
+               for a, b in zip(mb_new, mb_dst))

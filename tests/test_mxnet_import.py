@@ -110,3 +110,35 @@ def test_import_mxnet_cli(tmp_path, rng):
         "--epoch", "0",
     ])
     assert glob.glob(str(tmp_path / "model" / "multitask_resnet-18_multi_128" / "*"))
+
+
+def test_load_params_v1_and_legacy_layouts(tmp_path):
+    """Lock the on-disk layout against hand-crafted bytes (independent of our
+    writer): V1 = int64 dims; V2 = int32 stype then int64 dims; legacy =
+    first word is ndim with uint32 dims (mxnet src/ndarray/ndarray.cc)."""
+    import struct
+
+    buf = struct.pack("<QQQ", 0x112, 0, 3)
+    # V1 record: (2, 3) f32
+    a = np.arange(6, dtype=np.float32).reshape(2, 3)
+    buf += struct.pack("<I", 0xF993FAC8) + struct.pack("<I", 2)
+    buf += struct.pack("<qq", 2, 3) + struct.pack("<iii", 1, 0, 0) + a.tobytes()
+    # V2 record: stype 0, (4,) f32
+    b = np.arange(4, dtype=np.float32)
+    buf += struct.pack("<I", 0xF993FAC9) + struct.pack("<i", 0)
+    buf += struct.pack("<I", 1) + struct.pack("<q", 4)
+    buf += struct.pack("<iii", 1, 0, 0) + b.tobytes()
+    # legacy record: first word = ndim 1, uint32 dims
+    c = np.arange(5, dtype=np.float32)
+    buf += struct.pack("<II", 1, 5) + struct.pack("<iii", 1, 0, 0) + c.tobytes()
+    buf += struct.pack("<Q", 3)
+    for name in (b"arg:w1", b"arg:w2", b"aux:m1"):
+        buf += struct.pack("<Q", len(name)) + name
+    p = tmp_path / "x.params"
+    p.write_bytes(buf)
+    from dspnet_tpu.utils import mxnet_import
+
+    args, auxs = mxnet_import.load_params(str(p))
+    np.testing.assert_array_equal(args["w1"], a)
+    np.testing.assert_array_equal(args["w2"], b)
+    np.testing.assert_array_equal(auxs["m1"], c)
