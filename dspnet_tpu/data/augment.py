@@ -79,12 +79,18 @@ def augment_example(
     data_shape: Tuple[int, int],
 ):
     """Augment one example. img HxWx3 BGR (cv2 layout), label (L, 6)
-    normalized rows [cls, xmin, ymin, xmax, ymax, dist], seg HxW uint8.
+    normalized rows [cls, xmin, ymin, xmax, ymax, dist], seg HxW uint8
+    at the SAME resolution as img — one affine maps both, so a mismatched
+    mask would be sampled in the wrong coordinate frame.
 
     Returns (img, label, seg) at ``data_shape`` resolution.
     """
     H, W = data_shape
     hh, ww = img.shape[:2]
+    if seg is not None:
+        assert seg.shape[:2] == (hh, ww), (
+            f"seg mask {seg.shape[:2]} != image {(hh, ww)} — prepare the "
+            "dataset with matching resolutions (prepare_cityscapes --scale)")
     label = label.copy()
     flip, theta, sx, sy, tx, ty = tuple(params)
     sx2, sy2 = sx * (W / float(ww)), sy * (H / float(hh))
@@ -134,6 +140,10 @@ def resize_example(
     """No-aug eval path (iterator.py:439-474): plain resize, small-box filter."""
     H, W = data_shape
     hh, ww = img.shape[:2]
+    if seg is not None:
+        assert seg.shape[:2] == (hh, ww), (
+            f"seg mask {seg.shape[:2]} != image {(hh, ww)} — prepare the "
+            "dataset with matching resolutions (prepare_cityscapes --scale)")
     label = label.copy()
     M = np.array([[W / float(ww), 0.0, 0.0], [0.0, H / float(hh), 0.0]])
     img = cv2.warpAffine(img, M, (W, H), flags=cv2.INTER_LINEAR)

@@ -2,10 +2,13 @@
 
 Capability parity with the reference's plain-SSD input paths
 (dataset/iterator.py:113-297 DetIter and :10-111 DetRecordIter): per image,
-with configured probabilities, apply one of the IoU-constrained RandCropper
-samples or a RandPadder canvas (tools/rand_sampler.py), optional horizontal
-mirror, random-interpolation resize, then mean-sub NHWC float. Labels are
-(B, max_objects, 5) rows [cls, x1, y1, x2, y2] normalized.
+one candidate pooled from the IoU-constrained RandCropper samples and the
+RandPadder canvas (tools/rand_sampler.py) is applied, plus optional
+horizontal mirror, random-interpolation resize, then mean-sub NHWC float.
+Labels are (B, max_objects, 6) rows [cls, x1, y1, x2, y2, dist=0] — the
+width-6 layout lets the shared multibox_target op consume plain-SSD labels
+unchanged. The final partial batch is padded by wrapping to the start of
+the epoch (the reference's getpad roll-over).
 
 Used for training the 4-coordinate SSD variant (VOC-style datasets); the
 multitask path uses data.iterator.MultiTaskIterator instead.
@@ -61,38 +64,35 @@ class DetIterator:
 
     def __iter__(self):
         self.reset()
-        while self.cursor + self.batch_size <= len(self.index):
+        while self.cursor < len(self.index):
             yield self.next_batch()
 
     def _augment(self, img, label):
-        """Crop/pad/mirror pipeline (iterator.py:249-297)."""
+        """Crop/pad/mirror pipeline (iterator.py:249-297).
+
+        Reference semantics: candidates are pooled from EVERY sampler
+        (croppers return up to max_sample each; the padder's candidates are
+        gated by rand_pad_prob), then exactly ONE is picked uniformly and
+        applied — as a crop when its box lies inside the image, as a 128-
+        filled pad canvas otherwise (iterator.py:254-279)."""
         rng = self.rng
-        # random crop via the sampler list
-        samplers = self.cfg.get("rand_crop_samplers", [])
-        if samplers and rng.rand() < self.cfg.get("rand_crop_prob", 0.0):
-            sampler = samplers[rng.randint(len(samplers))]
-            samples = sampler.sample(label, rng)
-            if samples:
-                box, label = samples[rng.randint(len(samples))]
-                h, w = img.shape[:2]
-                x1 = int(round(box[0] * w))
-                y1 = int(round(box[1] * h))
-                x2 = int(round(box[2] * w))
-                y2 = int(round(box[3] * h))
-                img = img[max(0, y1):max(1, y2), max(0, x1):max(1, x2)]
-        # random pad
+        candidates = []
+        for rs in self.cfg.get("rand_crop_samplers", []):
+            candidates += rs.sample(label, rng)
         padder = self.cfg.get("rand_pad", None)
         if padder is not None and rng.rand() < self.cfg.get("rand_pad_prob", 0.0):
-            samples = padder.sample(label, rng)
-            if samples:
-                box, label = samples[rng.randint(len(samples))]
-                h, w = img.shape[:2]
-                nw = int(round((box[2] - box[0]) * w))
-                nh = int(round((box[3] - box[1]) * h))
-                ox = int(round(-box[0] * w))
-                oy = int(round(-box[1] * h))
-                canvas = np.full((nh, nw, 3), 128, img.dtype)
-                canvas[oy:oy + h, ox:ox + w] = img
+            candidates += padder.sample(label, rng)
+        if candidates:
+            box, label = candidates[int(rng.uniform(0, 1) * len(candidates))]
+            h, w = img.shape[:2]
+            # int() truncation like the reference (iterator.py:263-266)
+            x1, y1 = int(box[0] * w), int(box[1] * h)
+            x2, y2 = int(box[2] * w), int(box[3] * h)
+            if x1 >= 0 and y1 >= 0 and x2 <= w and y2 <= h:
+                img = img[y1:y2, x1:x2]
+            else:  # padding mode: canvas filled 128, image at its offset
+                canvas = np.full((y2 - y1, x2 - x1, 3), 128, img.dtype)
+                canvas[-y1:-y1 + h, -x1:-x1 + w] = img
                 img = canvas
         # mirror
         if rng.rand() < self.cfg.get("rand_mirror_prob", 0.0):
@@ -111,7 +111,9 @@ class DetIterator:
         # consumes plain-SSD labels unchanged
         labels = np.full((B, self.max_objects, 6), -1.0, np.float32)
         for b in range(B):
-            s = self.index[int(self.order[self.cursor])]
+            # final partial batch wraps to the epoch start (reference
+            # DetIter pads via getpad roll-over) so no sample is dropped
+            s = self.index[int(self.order[self.cursor % len(self.index)])]
             img, _ = iterator_mod.load_sample_arrays(s, with_seg=False)
             label = s.label[:, :5].copy()
             if self.is_train:

@@ -15,12 +15,19 @@ import functools as _functools
 import numpy as np
 
 
-@_functools.lru_cache(maxsize=None)
 def parse_rec(xml_path: str):
-    # cached: per-class voc_eval calls re-read the same split's XMLs; the
-    # reference caches the parsed dict once per split instead
-    # (evaluate/eval_voc.py:81-95, annotations.pkl). Callers must not mutate
-    # the returned list.
+    # cached keyed by (path, mtime): per-class voc_eval calls re-read the
+    # same split's XMLs (the reference caches a pickle per split,
+    # evaluate/eval_voc.py:81-95), and the mtime key prevents stale reads
+    # when annotations are rewritten in place (e.g. inject_distances).
+    # Callers must not mutate the returned list.
+    import os as _os
+
+    return _parse_rec_cached(xml_path, _os.path.getmtime(xml_path))
+
+
+@_functools.lru_cache(maxsize=8192)
+def _parse_rec_cached(xml_path: str, _mtime: float):
     tree = ET.parse(xml_path)
     objects = []
     for obj in tree.findall("object"):

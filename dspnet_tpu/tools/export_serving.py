@@ -28,7 +28,7 @@ import json
 import os
 
 
-def build_serve_fn(bundle, variables, data_shape, nms_thresh=0.45,
+def build_serve_fn(bundle, variables, nms_thresh=0.45,
                    score_threshold=0.01, nms_topk=400, use_pallas=False):
     """The exported computation: raw uint8 BGR batch -> (det rows, seg map)."""
     import jax
@@ -76,7 +76,9 @@ def _param_dtype(variables):
 
 
 def export_bundle(bundle, variables, out_path: str, batch_size: int,
-                  data_shape, bf16: bool = False, use_pallas: bool = False):
+                  data_shape, bf16: bool = False, use_pallas: bool = False,
+                  nms_thresh: float = 0.45, score_threshold: float = 0.01,
+                  nms_topk: int = 400):
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -86,7 +88,9 @@ def export_bundle(bundle, variables, out_path: str, batch_size: int,
 
         variables = bf16_variables(variables)
     H, W = data_shape
-    serve = build_serve_fn(bundle, variables, data_shape, use_pallas=use_pallas)
+    serve = build_serve_fn(bundle, variables, nms_thresh=nms_thresh,
+                           score_threshold=score_threshold, nms_topk=nms_topk,
+                           use_pallas=use_pallas)
     exp = jexport.export(jax.jit(serve))(
         jax.ShapeDtypeStruct((batch_size, H, W, 3), jnp.uint8))
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
@@ -129,6 +133,9 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true", help="serve in bfloat16")
     p.add_argument("--seg-fast", action="store_true",
                    help="model was trained with --seg-fast")
+    p.add_argument("--nms-thresh", type=float, default=0.45)
+    p.add_argument("--score-threshold", type=float, default=0.01)
+    p.add_argument("--nms-topk", type=int, default=400)
     p.add_argument("--pallas-nms", action="store_true",
                    help="use the Pallas NMS kernel (TPU-only artifact)")
     p.add_argument("--random-init", action="store_true",
@@ -159,7 +166,10 @@ def main(argv=None):
     variables = MultiTaskSolver.detector_variables(state)
 
     out = export_bundle(bundle, variables, args.out, args.batch_size, (H, W),
-                        bf16=args.bf16, use_pallas=args.pallas_nms)
+                        bf16=args.bf16, use_pallas=args.pallas_nms,
+                        nms_thresh=args.nms_thresh,
+                        score_threshold=args.score_threshold,
+                        nms_topk=args.nms_topk)
     size_mb = os.path.getsize(out) / 1e6
     print(f"exported {out} ({size_mb:.1f} MB)")
 

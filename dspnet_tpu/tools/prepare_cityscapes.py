@@ -34,11 +34,18 @@ from dspnet_tpu.data.cs_labels import name2label
 DISPARITY_SCALE = 2200.0 * 75.0
 
 
-def json_to_xml(json_path: str, xml_path: str | None = None, scale: float = 0.5) -> str:
+def _load_polygons(json_path: str, parsed: dict | None = None) -> dict:
+    if parsed is not None:
+        return parsed
+    with open(json_path) as f:
+        return json.load(f)
+
+
+def json_to_xml(json_path: str, xml_path: str | None = None, scale: float = 0.5,
+                parsed: dict | None = None) -> str:
     """Polygon JSON -> PASCAL-style XML with polygon-extent boxes, at
     ``scale`` resolution (the reference halves, cs_json2xml.py:38,67)."""
-    with open(json_path) as f:
-        parsed = json.load(f)
+    parsed = _load_polygons(json_path, parsed)
     if xml_path is None:
         xml_path = json_path.replace(".json", ".xml")
 
@@ -59,8 +66,11 @@ def json_to_xml(json_path: str, xml_path: str | None = None, scale: float = 0.5)
         ET.SubElement(obj, "name").text = label["label"]
         ET.SubElement(obj, "difficult").text = "0"
         ET.SubElement(obj, "id").text = str(idval)
-        xs = [int(round(p[0] * scale)) for p in label["polygon"]]
-        ys = [int(round(p[1] * scale)) for p in label["polygon"]]
+        # int(p * scale) truncates like the reference's Python-2
+        # int(round(p/2)) — integer division floors before round sees it
+        # (cs_json2xml.py:67)
+        xs = [int(p[0] * scale) for p in label["polygon"]]
+        ys = [int(p[1] * scale) for p in label["polygon"]]
         bnd = ET.SubElement(obj, "bndbox")
         ET.SubElement(bnd, "xmin").text = str(min(xs))
         ET.SubElement(bnd, "xmax").text = str(max(xs))
@@ -122,12 +132,13 @@ def resize_disparity(src_path: str, dst_path: str, scale: float = 0.5) -> str:
     return dst_path
 
 
-def _iter_polygons(json_path: str):
-    """Yield (label, pts (n,1,2) int32, is_group) for each drawable polygon,
-    resolving '...group' names and skipping deleted/unknown labels — the
-    shared object loop of the vendored json2labelImg/json2instanceImg."""
-    with open(json_path) as f:
-        parsed = json.load(f)
+def _iter_polygons(json_path: str, scale: float = 1.0,
+                   parsed: dict | None = None):
+    """Yield ((h, w), [(label, pts (n,1,2) int32, is_group)]) for each
+    drawable polygon at ``scale`` resolution, resolving '...group' names and
+    skipping deleted/unknown labels — the shared object loop of the vendored
+    json2labelImg/json2instanceImg."""
+    parsed = _load_polygons(json_path, parsed)
     polys = []
     for obj in parsed["objects"]:
         if obj.get("deleted", 0):
@@ -139,15 +150,22 @@ def _iter_polygons(json_path: str):
             is_group = True
         if name not in name2label:
             continue
-        pts = np.asarray(obj["polygon"], np.int32).reshape(-1, 1, 2)
+        pts = (np.asarray(obj["polygon"], np.float64) * scale).astype(
+            np.int32).reshape(-1, 1, 2)
         polys.append((name2label[name], pts, is_group))
-    return (parsed["imgHeight"], parsed["imgWidth"]), polys
+    h = int(round(parsed["imgHeight"] * scale))
+    w = int(round(parsed["imgWidth"] * scale))
+    return (h, w), polys
 
 
-def polygons_to_trainid_png(json_path: str, out_path: str) -> str:
+def polygons_to_trainid_png(json_path: str, out_path: str, scale: float = 1.0,
+                            parsed: dict | None = None) -> str:
     """Rasterize polygon JSON to a trainId label image (capability of the
-    vendored createTrainIdLabelImgs/json2labelImg scripts)."""
-    (h, w), polys = _iter_polygons(json_path)
+    vendored createTrainIdLabelImgs/json2labelImg scripts). ``scale`` must
+    match the resolution of the images the mask will train against — the
+    iterator warps image and mask with one matrix and requires equal
+    shapes."""
+    (h, w), polys = _iter_polygons(json_path, scale, parsed)
     out = np.full((h, w), 255, np.uint8)  # unlabeled -> ignore
     for label, pts, _ in polys:
         tid = label.trainId
@@ -158,7 +176,8 @@ def polygons_to_trainid_png(json_path: str, out_path: str) -> str:
 
 
 def polygons_to_instanceid_png(json_path: str, out_path: str,
-                               encoding: str = "ids") -> str:
+                               encoding: str = "ids", scale: float = 1.0,
+                               parsed: dict | None = None) -> str:
     """Rasterize polygon JSON to an instanceIds image (capability of the
     vendored createTrainIdInstanceImgs.py/json2instanceImg.py scripts).
 
@@ -173,7 +192,7 @@ def polygons_to_instanceid_png(json_path: str, out_path: str,
     instead of 255*1000+n — PNG is capped at 16 bits, and the official
     script's mode-"I" PIL save silently clamps those values to 65535 anyway.
     """
-    (h, w), polys = _iter_polygons(json_path)
+    (h, w), polys = _iter_polygons(json_path, scale, parsed)
     tid = encoding == "trainIds"
     background = name2label["unlabeled"].trainId if tid else name2label["unlabeled"].id
     out = np.full((h, w), max(background, 0), np.int32)
@@ -197,6 +216,11 @@ def main(argv=None):
     p.add_argument("--disparity", default="", help="disparity root (optional)")
     p.add_argument("--out", required=True, help="output dataset root")
     p.add_argument("--split", default="train")
+    p.add_argument("--scale", type=float, default=0.5,
+                   help="resolution scale of the prepared layout relative to "
+                        "the raw 2048x1024 (reference halves everything; "
+                        "images, XML boxes, seg masks, and disparity must "
+                        "share one resolution)")
     p.add_argument("--classes", default="person,rider,car,truck,bus,train,motorcycle,bicycle")
     p.add_argument("--instance-ids", action="store_true",
                    help="also rasterize *_gtFine_instanceIds.png (for the "
@@ -211,15 +235,19 @@ def main(argv=None):
     ids = []
     for jp in sorted(glob.glob(os.path.join(args.gtfine, args.split, "*", "*_gtFine_polygons.json"))):
         stem = os.path.basename(jp).replace("_gtFine_polygons.json", "")
+        with open(jp) as f:  # parse once; three rasterizers share it
+            parsed = json.load(f)
         xml_path = os.path.join(args.out, "Annotations", stem + "_leftImg8bit.xml")
-        json_to_xml(jp, xml_path)
+        json_to_xml(jp, xml_path, scale=args.scale, parsed=parsed)
         polygons_to_trainid_png(
-            jp, os.path.join(args.out, "SegmentationClass", stem + "_gtFine_labelTrainIds.png")
+            jp, os.path.join(args.out, "SegmentationClass", stem + "_gtFine_labelTrainIds.png"),
+            scale=args.scale, parsed=parsed,
         )
         if args.instance_ids:
             polygons_to_instanceid_png(
                 jp, os.path.join(args.out, "SegmentationInstance",
-                                 stem + "_gtFine_instanceIds.png")
+                                 stem + "_gtFine_instanceIds.png"),
+                scale=args.scale, parsed=parsed,
             )
         if args.disparity:
             dp = os.path.join(
@@ -230,7 +258,8 @@ def main(argv=None):
                 # (resize_disparity.sh), keep the result for the depth metric
                 os.makedirs(os.path.join(args.out, "Disparity"), exist_ok=True)
                 half = resize_disparity(
-                    dp, os.path.join(args.out, "Disparity", stem + "_disparity.png"))
+                    dp, os.path.join(args.out, "Disparity", stem + "_disparity.png"),
+                    scale=args.scale)
                 inject_distances(xml_path, half, classes)
         ids.append(stem + "_leftImg8bit")
     with open(os.path.join(args.out, "ImageSets", "Main", args.split + ".txt"), "w") as f:

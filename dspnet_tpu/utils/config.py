@@ -48,7 +48,6 @@ cfg.train.rand_crop_samplers = [
     RandCropper(min_scale=0.3, min_aspect_ratio=0.5, max_aspect_ratio=2.0, min_overlap=0.7),
     RandCropper(min_scale=0.3, min_aspect_ratio=0.5, max_aspect_ratio=2.0, min_overlap=0.9),
 ]
-cfg.train.rand_crop_prob = 0.833333
 cfg.train.rand_pad = RandPadder(max_scale=4.0, min_aspect_ratio=0.5, max_aspect_ratio=2.0,
                                 min_gt_scale=0.01)
 cfg.train.rand_pad_prob = 0.5

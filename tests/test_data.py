@@ -128,7 +128,8 @@ def test_imdb_cityscapes_and_concat(tmp_path):
     json.dump(poly, open(jp, "w"))
     json_to_xml(jp, os.path.join(root, "Annotations", "x_leftImg8bit.xml"), scale=0.5)
     polygons_to_trainid_png(
-        jp, os.path.join(root, "SegmentationClass", "x_gtFine_labelTrainIds.png")
+        jp, os.path.join(root, "SegmentationClass", "x_gtFine_labelTrainIds.png"),
+        scale=0.5,  # masks must match the half-res images
     )
     import cv2
 

@@ -114,7 +114,7 @@ def test_export_serving_roundtrip(tmp_path):
     det, seg = serve(raw)
     assert det.shape[0] == B and det.shape[2] == 7
     assert seg.shape == (B, H // 4, W // 4)
-    want_det, want_seg = jax.jit(build_serve_fn(bundle, variables, (H, W)))(raw)
+    want_det, want_seg = jax.jit(build_serve_fn(bundle, variables))(raw)
     np.testing.assert_allclose(np.asarray(det), np.asarray(want_det), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(seg), np.asarray(want_seg))
 
@@ -181,7 +181,13 @@ def test_prepare_cityscapes_main(tmp_path):
     assert half.shape == (64, 128) and half[32, 64] == 1650
     inst = cv2.imread(str(out / "SegmentationInstance" / f"{stem}_gtFine_instanceIds.png"),
                       cv2.IMREAD_UNCHANGED)
-    assert inst[70, 100] == 26000  # car instance 0 at full res
+    # the whole prepared layout shares one resolution (--scale 0.5):
+    # 128x256 raw -> 64x128 masks, same as the XML and Disparity
+    assert inst.shape == (64, 128)
+    assert inst[35, 50] == 26000  # car instance 0 at half res
+    seg = cv2.imread(str(out / "SegmentationClass" / f"{stem}_gtFine_labelTrainIds.png"),
+                     cv2.IMREAD_UNCHANGED)
+    assert seg.shape == (64, 128) and seg[35, 50] == 13
     ids = open(out / "ImageSets" / "Main" / "train.txt").read().split()
     assert ids == [f"{stem}_leftImg8bit"]
 
