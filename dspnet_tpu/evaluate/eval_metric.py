@@ -348,6 +348,11 @@ class DistanceAccuracyMetric(EvalMetric):
             xmin, xmax = int(bbox[2] * ww), int(bbox[4] * ww)
             ymin, ymax = int(bbox[3] * hh), int(bbox[5] * hh)
             xmin, ymin = max(0, xmin), max(0, ymin)
+            # deviation from train/metric.py:218-220 (which only clamps the
+            # mins): a fully-out-of-image box with negative xmax/ymax would
+            # negative-index a huge wrong ROI — treat it as empty instead
+            if xmax < xmin or ymax < ymin:
+                continue
             if xmin == xmax:
                 xmax = xmin + 1
             roi = np.sort(disparity[ymin:ymax, xmin:xmax].reshape(-1).astype(np.float32))

@@ -42,6 +42,10 @@ class MultiLayerFeature(nn.Module):
 
     @nn.compact
     def __call__(self, tap_layers: Sequence, train: bool = False):
+        # the reference asserts the preset lists line up (common.py:113);
+        # a short num_filters would otherwise silently drop pyramid scales
+        assert len(self.num_filters) == len(self.strides) == len(self.pads), (
+            self.num_filters, self.strides, self.pads)
         layers = list(tap_layers)
         n_taps = len(tap_layers)
         for k in range(n_taps, len(self.num_filters)):

@@ -192,6 +192,10 @@ def resize_bilinear_align_corners(x, target_hw: Sequence[int]):
     b, h, w, c = x.shape
     if (h, w) == (th, tw):
         return x
+    # fractional weights truncate to zero in integer dtypes — resize int
+    # maps (seg ids, raw uint8) with nearest sampling instead
+    assert jnp.issubdtype(x.dtype, jnp.floating), (
+        f"bilinear resize needs a floating dtype, got {x.dtype}")
     wy = jnp.asarray(_bilinear_axis_matrix(h, th), x.dtype)
     wx = jnp.asarray(_bilinear_axis_matrix(w, tw), x.dtype)
     # f32 accumulation on the MXU keeps bf16 inputs exact enough (each row
@@ -213,7 +217,13 @@ def bilinear_upsample_kernel(size: int, dtype=np.float32) -> np.ndarray:
 class Deconv2x(nn.Module):
     """4x4 stride-2 pad-1 transposed conv (exact 2x upsample), initialized
     with the bilinear filter like the reference (multi_init.py:160-168).
-    Matches mx.sym.Deconvolution(kernel=4, stride=2, pad=1, no_bias default).
+
+    Output geometry matches mx.sym.Deconvolution(kernel=4, stride=2, pad=1,
+    no_bias). NOTE flax ConvTranspose does not flip the kernel
+    (transpose_kernel=False), so numerical equivalence to MXNet holds for
+    the symmetric bilinear filter but NOT for arbitrary learned weights —
+    importing MXNet-trained deconv kernels verbatim would need a spatial
+    flip + in/out transpose.
     """
 
     features: int
