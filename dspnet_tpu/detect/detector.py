@@ -132,26 +132,31 @@ class Detector:
     def _run_padded(self, fn, batch):
         """Pad the batch to a multiple of the mesh's data axis (repeat of the
         last row) and slice results back — lets any batch size, including 1,
-        run on a multi-chip mesh."""
+        run on a multi-chip mesh. ``batch`` may be a device array (the
+        DeviceAugIterator / --native-u8 paths); jnp ops keep it on device —
+        no D2H round-trip per batch."""
+        batch = jnp.asarray(batch)  # no-op for device arrays
         if self.mesh is None:
-            return fn(self.variables, jnp.asarray(batch))
+            return fn(self.variables, batch)
         n = self.mesh.shape["data"]
         B = batch.shape[0]
         pad = (-B) % n
         if pad:
-            batch = np.concatenate([batch, np.repeat(batch[-1:], pad, axis=0)])
-        res = fn(self.variables, jnp.asarray(batch))
+            batch = jnp.concatenate(
+                [batch, jnp.repeat(batch[-1:], pad, axis=0)])
+        res = fn(self.variables, batch)
         if pad:
             res = {k: v[:B] for k, v in res.items()}
         return res
 
-    def predict(self, images: np.ndarray):
-        """images (B, H, W, 3) preprocessed float -> jitted forward results."""
-        return self._run_padded(self._predict, np.asarray(images))
+    def predict(self, images):
+        """images (B, H, W, 3) preprocessed float (numpy or device array)
+        -> jitted forward results."""
+        return self._run_padded(self._predict, images)
 
-    def predict_raw(self, raw_bgr: np.ndarray):
+    def predict_raw(self, raw_bgr):
         """raw (B, H, W, 3) uint8 BGR at data_shape -> jitted forward results."""
-        return self._run_padded(self._predict_raw, np.asarray(raw_bgr))
+        return self._run_padded(self._predict_raw, raw_bgr)
 
     @staticmethod
     def _filter_rows(rows: np.ndarray, det_threshold: float) -> np.ndarray:

@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import math
 import os
 import xml.etree.ElementTree as ET
 from xml.dom import minidom
@@ -66,11 +67,12 @@ def json_to_xml(json_path: str, xml_path: str | None = None, scale: float = 0.5,
         ET.SubElement(obj, "name").text = label["label"]
         ET.SubElement(obj, "difficult").text = "0"
         ET.SubElement(obj, "id").text = str(idval)
-        # int(p * scale) truncates like the reference's Python-2
-        # int(round(p/2)) — integer division floors before round sees it
-        # (cs_json2xml.py:67)
-        xs = [int(p[0] * scale) for p in label["polygon"]]
-        ys = [int(p[1] * scale) for p in label["polygon"]]
+        # the reference's Python-2 int(round(p/2)) floors (integer division
+        # happens before round sees it, cs_json2xml.py:67) — including for
+        # negative coords, where int() would truncate toward zero instead
+        # (Cityscapes polygons do extend past image borders)
+        xs = [math.floor(p[0] * scale) for p in label["polygon"]]
+        ys = [math.floor(p[1] * scale) for p in label["polygon"]]
         bnd = ET.SubElement(obj, "bndbox")
         ET.SubElement(bnd, "xmin").text = str(min(xs))
         ET.SubElement(bnd, "xmax").text = str(max(xs))
@@ -150,7 +152,9 @@ def _iter_polygons(json_path: str, scale: float = 1.0,
             is_group = True
         if name not in name2label:
             continue
-        pts = (np.asarray(obj["polygon"], np.float64) * scale).astype(
+        # floor (not truncate) so negative border coords match the
+        # reference's Python-2 integer-division semantics
+        pts = np.floor(np.asarray(obj["polygon"], np.float64) * scale).astype(
             np.int32).reshape(-1, 1, 2)
         polys.append((name2label[name], pts, is_group))
     h = int(round(parsed["imgHeight"] * scale))
