@@ -7,9 +7,10 @@ head + on-device decode+NMS + seg argmax) on the attached TPU.
 Serving configuration: bfloat16 weights/activations on the MXU (box decode,
 NMS, and softmax stay float32), Pallas fused-NMS backend, seg_fast head
 (score conv at native stream resolutions — dspnet_tpu/models/seg_head.py;
-~1726 img/s vs 1339 reference-exact at b128 on v5e; set BENCH_SEG_EXACT=1
+~1700 img/s vs 1493 reference-exact at b128 on v5e; set BENCH_SEG_EXACT=1
 for the reference-exact head). Default batch 128 maximizes throughput/chip;
 pass a smaller batch as argv[1] for latency-oriented serving.
+BENCH_TRAIN=1 switches to the canonical train-step benchmark (bench_train).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 500 (the >=500 img/s/chip target for v5e).
@@ -22,6 +23,65 @@ import sys
 import time
 
 
+def bench_train():
+    """BENCH_TRAIN=1 mode: the canonical training config (512x1024
+    resnet-50_multi bf16 batch 4, device-resident batch) — img/s + est. MFU.
+
+    Regression guard for the train-step campaign (VERDICT r1 item 1):
+    81.5 ms/step at round-1 end, 56.4 ms after the bandwidth-lean BatchNorm
+    + space-to-depth stem + seg-head tap-split + one-hot CE losses.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dspnet_tpu.api import create_model
+    from dspnet_tpu.train.solver import MultiTaskSolver
+
+    B, H, W = 4, 512, 1024
+    bundle = create_model("resnet-50_multi", (H, W), num_classes=8)
+    solver = MultiTaskSolver(bundle.model, bundle.anchors,
+                             compute_dtype="bfloat16", batch_size=B)
+    state = solver.init_state(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    rng = np.random.RandomState(0)
+    lab = np.full((B, 200, 6), -1, np.float32)
+    lab[:, :8] = np.abs(rng.rand(B, 8, 6)).astype(np.float32)
+    lab[:, :8, 0] = rng.randint(0, 8, (B, 8))
+    lab[:, :8, 3:5] = lab[:, :8, 1:3] + 0.2
+    batch = {
+        "images": jax.device_put(rng.rand(B, H, W, 3).astype(np.float32)),
+        "label_det": jax.device_put(lab),
+        "seg_label": jax.device_put(
+            rng.randint(0, 19, (B, H // 4, W // 4)).astype(np.int32)),
+    }
+    jax.block_until_ready(batch)
+
+    # chained-accumulator timing (block_until_ready alone is unreliable on
+    # the axon backend; the donated state chains steps anyway)
+    for _ in range(3):
+        state, metrics = solver.train_step(state, batch)
+    float(metrics["loss"])
+    n = 20
+    t0 = time.perf_counter()
+    for _ in range(n):
+        state, metrics = solver.train_step(state, batch)
+    float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n
+    # fwd+bwd FLOPs ~= 3x forward; forward ~0.46 TFLOP at 512x1024 b4
+    # (conv/matmul FLOPs from the XLA cost analysis of the forward graph)
+    mfu = 3 * 0.457e12 / dt / 197e12  # v5e bf16 peak 197 TFLOP/s
+    print(json.dumps({
+        "metric": "multitask_train_step_512x1024_b4_bf16",
+        "value": round(B / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(0.0815 / dt, 4),  # round-1 step time ratio
+        "ms_per_step": round(dt * 1e3, 2),
+        "est_mfu": round(mfu, 4),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -31,6 +91,9 @@ def main():
     from dspnet_tpu.utils.precision import bf16_variables
 
     import os
+
+    if os.environ.get("BENCH_TRAIN"):
+        return bench_train()
 
     H = W = 512
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128

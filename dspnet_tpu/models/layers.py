@@ -22,12 +22,65 @@ BN_EPS = 2e-5
 BN_MOMENTUM = 0.9
 
 
+class _BatchNormImpl(nn.Module):
+    """Bandwidth-lean BatchNorm core (see BatchNorm below for the contract).
+
+    flax's nn.BatchNorm promotes the whole activation to float32 for the
+    normalize in mixed precision — at 512x1024 that convert + the layout
+    copies it forces were ~30% of the canonical train step (profiled on
+    v5e). Here statistics are still accumulated in f32 (the converts fuse
+    into the reductions, nothing f32-sized is materialized) and the
+    normalize is folded to a per-channel affine y = x*A + B computed in f32
+    on (C,)-vectors, applied in the activation dtype — one fused
+    multiply-add that XLA sinks into the producer conv's epilogue."""
+
+    use_scale: bool = True
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        scale = (self.param("scale", nn.initializers.ones, (c,))
+                 if self.use_scale else None)
+        axes = tuple(range(x.ndim - 1))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            # f32 accumulation; the convert fuses into the reduce (the big
+            # tensor is only ever read in its own dtype). Same fast-variance
+            # formula as flax's _compute_stats.
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            mean2 = jnp.mean(xf * xf, axis=axes)
+            var = jnp.maximum(mean2 - mean * mean, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean)
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var)
+        mul = jax.lax.rsqrt(var + self.epsilon)
+        if scale is not None:
+            mul = mul * scale.astype(jnp.float32)
+        add = bias.astype(jnp.float32) - mean * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
 class BatchNorm(nn.Module):
     """MXNet-convention BatchNorm (momentum 0.9, eps 2e-5).
 
     ``fix_gamma=True`` mirrors mx.sym.BatchNorm(fix_gamma=True): scale pinned
     to 1, only bias (beta) learned. ``use_running_average`` is the inference
     switch (MXNet `use_global_stats` semantics at test time).
+
+    Param/stat tree paths keep flax nn.BatchNorm's ``<name>/BatchNorm_0/
+    {scale,bias,mean,var}`` layout — a checkpoint contract relied on by
+    utils/mxnet_import.py and every saved Orbax state.
     """
 
     fix_gamma: bool = False
@@ -36,13 +89,12 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
+        return _BatchNormImpl(
+            use_scale=not self.fix_gamma,
             momentum=self.momentum,
             epsilon=self.epsilon,
-            use_scale=not self.fix_gamma,
-            use_bias=True,
-        )(x)
+            name="BatchNorm_0",
+        )(x, use_running_average=not train)
 
 
 def conv(x, features, kernel, stride=1, pad="same_explicit", use_bias=True, name=None):
@@ -64,6 +116,50 @@ def conv(x, features, kernel, stride=1, pad="same_explicit", use_bias=True, name
         use_bias=use_bias,
         name=name,
     )(x)
+
+
+class SpaceToDepthConv(nn.Module):
+    """7x7 stride-2 pad-3 stem conv, computed as a 4x4 stride-1 conv over
+    the 2x2 space-to-depth transform of the input.
+
+    Mathematically identical to the plain conv (a reindexing: output pixel
+    (y,x) reads input u=2y+ky-3 which decomposes as u=2i+di, so each kernel
+    row ky maps to a unique (i-offset, parity) pair), but far friendlier to
+    the MXU/backward pass: the image's 3 channels become 12, spatial extent
+    halves, and the notoriously slow kernel-gradient conv over the raw-
+    resolution image (~8 ms of the canonical 512x1024 b4 train step on v5e)
+    tiles properly. The parameter stays ``kernel (7,7,C,F)`` — checkpoint
+    layout is unchanged; the transform is re-derived from it every step
+    (param-sized, negligible).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, c, self.features),
+        )
+        k = kernel.astype(x.dtype)
+        if h % 2 or w % 2:  # odd input: the s2d reindexing needs even dims
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+        # kernel: pad ky,kx 7->8 at the front, then split each into
+        # (offset, parity); channel order (di, dj, c) matches the s2d below
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        k4 = kp.reshape(4, 2, 4, 2, c, self.features).transpose(
+            0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        dn = jax.lax.conv_dimension_numbers(
+            x2.shape, k4.shape, ("NHWC", "HWIO", "NHWC"))
+        return jax.lax.conv_general_dilated(
+            x2, k4, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
 
 
 class ConvAct(nn.Module):

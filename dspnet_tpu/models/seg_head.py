@@ -49,10 +49,43 @@ class _ConcatConv3x3(nn.Module):
     (2048-channel, H/32) stream dominates the concat, so this cuts the
     score-conv MXU work ~9x at resnet-50/512. Different numerics from the
     reference (conv and resize don't commute); train and eval with the same
-    setting. Parameter shapes are identical in both modes."""
+    setting. Parameter shapes are identical in both modes.
+
+    Exact-mode tap-split optimization: for an UPSAMPLED stream with
+    ``C > 9*features``, resize-then-conv3x3 is computed as
+    1x1-conv-at-native-res (C -> 9*features per-tap channels, f32) ->
+    resize -> 9 shifted adds. Channel contraction commutes with the
+    (channel-preserving, linear) bilinear resize and with spatial shifts,
+    so this is the SAME linear map — only fp summation order differs (and
+    the f32 intermediate is strictly more precise than the bf16 resize it
+    replaces). The 2048-channel PSP stream never materializes at grid
+    resolution: ~6x less HBM traffic on the head's dominant stream."""
 
     features: int
     fast: bool = False
+
+    def _upsample_tap_split(self, s, k, grid_hw):
+        """conv3x3(resize(s), k) via contract-resize-shift; returns f32."""
+        f = self.features
+        c = s.shape[-1]
+        # (3,3,c,f) -> (1,1,c,9f) with tap-major output channels (ky,kx,f)
+        k1 = k.astype(jnp.float32).transpose(2, 0, 1, 3).reshape(1, 1, c, 9 * f)
+        z = jax.lax.conv_general_dilated(
+            s.astype(jnp.float32), k1, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=jax.lax.conv_dimension_numbers(
+                s.shape, k1.shape, ("NHWC", "HWIO", "NHWC")),
+        )
+        z = resize_bilinear_align_corners(z, grid_hw)
+        th, tw = int(grid_hw[0]), int(grid_hw[1])
+        zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        out = None
+        for t in range(9):
+            dy, dx = t // 3, t % 3
+            part = jax.lax.slice(
+                zp, (0, dy, dx, t * f),
+                (zp.shape[0], dy + th, dx + tw, (t + 1) * f))
+            out = part if out is None else out + part
+        return out
 
     @nn.compact
     def __call__(self, streams, grid_hw):
@@ -66,22 +99,28 @@ class _ConcatConv3x3(nn.Module):
         out = None
         off = 0
         for s in streams:
-            if not self.fast:
-                s = resize_bilinear_align_corners(s, grid_hw)
             c = s.shape[-1]
-            k = jax.lax.slice_in_dim(kernel, off, off + c, axis=2).astype(s.dtype)
-            y = jax.lax.conv_general_dilated(
-                s, k, (1, 1), [(1, 1), (1, 1)],
-                dimension_numbers=jax.lax.conv_dimension_numbers(
-                    s.shape, k.shape, dn),
-            )
-            if self.fast and y.shape[1:3] != tuple(grid_hw):
-                y = resize_bilinear_align_corners(y, grid_hw)
-            # sum the partial outputs in f32 so bf16 mode accumulates like
-            # the single nn.Conv this replaces (per-conv accumulation is f32
-            # inside the MXU either way; preferred_element_type=f32 is not
-            # usable here — its VJP produces a mixed-dtype conv)
-            y = y.astype(jnp.float32)
+            k = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
+            if (not self.fast and s.shape[1:3] != tuple(grid_hw)
+                    and c > 9 * self.features):
+                y = self._upsample_tap_split(s, k, grid_hw)
+            else:
+                if not self.fast:
+                    s = resize_bilinear_align_corners(s, grid_hw)
+                k = k.astype(s.dtype)
+                y = jax.lax.conv_general_dilated(
+                    s, k, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=jax.lax.conv_dimension_numbers(
+                        s.shape, k.shape, dn),
+                )
+                if self.fast and y.shape[1:3] != tuple(grid_hw):
+                    y = resize_bilinear_align_corners(y, grid_hw)
+                # sum the partial outputs in f32 so bf16 mode accumulates
+                # like the single nn.Conv this replaces (per-conv
+                # accumulation is f32 inside the MXU either way;
+                # preferred_element_type=f32 is not usable here — its VJP
+                # produces a mixed-dtype conv)
+                y = y.astype(jnp.float32)
             out = y if out is None else out + y
             off += c
         return out.astype(streams[0].dtype)

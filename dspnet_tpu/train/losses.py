@@ -44,7 +44,11 @@ def cls_loss_valid(cls_logits, cls_target):
     valid = cls_target != CLS_IGNORE
     tgt = jnp.maximum(cls_target, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(cls_logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis: the iota+eq+select
+    # fuses into the reduce, and the backward is an elementwise multiply
+    # instead of a scatter (TPU scatters serialize)
+    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+    ce = -jnp.sum(logp * oh, axis=-1)
     ce = jnp.where(valid, ce, 0.0)
     count = jnp.sum(valid)
     return jnp.sum(ce) / jnp.maximum(count, 1), count
@@ -62,7 +66,8 @@ def seg_loss(seg_logits, seg_labels, grad_scale: float = 4.0, normalize: str = "
     valid = seg_labels != SEG_IGNORE
     tgt = jnp.where(valid, seg_labels, 0).astype(jnp.int32)
     logp = jax.nn.log_softmax(seg_logits, axis=-1)
-    ce = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
+    ce = -jnp.sum(logp * oh, axis=-1)
     ce = jnp.where(valid, ce, 0.0)
     total = jnp.sum(ce)
     if normalize == "valid":

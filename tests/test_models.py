@@ -180,3 +180,102 @@ def test_seg_fast_variant_same_params_and_shapes():
     # different numerics by design (conv and resize don't commute)
     assert not np.allclose(np.asarray(oe["seg_logits"]),
                            np.asarray(of["seg_logits"]), atol=1e-3)
+
+
+def test_batchnorm_matches_flax_reference():
+    """The bandwidth-lean BatchNorm (layers._BatchNormImpl) must reproduce
+    flax nn.BatchNorm numerics (f32): train-mode normalize, running-stat
+    update, and eval-mode normalize, for both learned-scale and fix_gamma."""
+    from flax import linen as fnn
+
+    from dspnet_tpu.models.layers import BN_EPS, BN_MOMENTUM, BatchNorm
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (2, 8, 6, 5), jnp.float32) * 3.0 + 1.5
+
+    for fix_gamma in (False, True):
+        ours = BatchNorm(fix_gamma=fix_gamma)
+        ref = fnn.BatchNorm(
+            use_running_average=False, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            use_scale=not fix_gamma, use_bias=True)
+
+        v_ours = ours.init(rng, x, train=True)
+        v_ref = ref.init(rng, x)
+        # same tree layout (BatchNorm_0 scope lives in the wrapper for ours)
+        p = jax.tree_util.tree_map(
+            lambda a: a + 0.3, v_ours["params"])  # non-trivial bias/scale
+        v_ours = {"params": p, "batch_stats": v_ours["batch_stats"]}
+        v_ref = {"params": p["BatchNorm_0"], "batch_stats": v_ref["batch_stats"]}
+
+        y_ours, m_ours = ours.apply(v_ours, x, train=True, mutable=["batch_stats"])
+        y_ref, m_ref = ref.apply(v_ref, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y_ours), np.asarray(y_ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(m_ours["batch_stats"]["BatchNorm_0"]["mean"]),
+            np.asarray(m_ref["batch_stats"]["mean"]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(m_ours["batch_stats"]["BatchNorm_0"]["var"]),
+            np.asarray(m_ref["batch_stats"]["var"]), rtol=1e-5, atol=1e-6)
+
+        # eval mode against the updated stats
+        ref_eval = fnn.BatchNorm(
+            use_running_average=True, momentum=BN_MOMENTUM, epsilon=BN_EPS,
+            use_scale=not fix_gamma, use_bias=True)
+        y_oe = ours.apply(
+            {"params": p, "batch_stats": m_ours["batch_stats"]}, x, train=False)
+        y_re = ref_eval.apply(
+            {"params": p["BatchNorm_0"], "batch_stats": m_ref["batch_stats"]}, x)
+        np.testing.assert_allclose(np.asarray(y_oe), np.asarray(y_re),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_space_to_depth_conv_matches_plain_conv():
+    """SpaceToDepthConv must equal the plain 7x7/2 pad-3 conv it replaces
+    (same kernel param layout), on even and odd input sizes."""
+    from flax import linen as fnn
+
+    from dspnet_tpu.models.layers import SpaceToDepthConv
+
+    rng = jax.random.PRNGKey(3)
+    for hw in ((32, 48), (31, 47)):
+        x = jax.random.normal(rng, (2, hw[0], hw[1], 3), jnp.float32)
+        mod = SpaceToDepthConv(16)
+        v = mod.init(rng, x)
+        assert v["params"]["kernel"].shape == (7, 7, 3, 16)
+        y = mod.apply(v, x)
+        ref = fnn.Conv(16, (7, 7), strides=(2, 2),
+                       padding=[(3, 3), (3, 3)], use_bias=False)
+        y_ref = ref.apply({"params": v["params"]}, x)
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_concat_conv_tap_split_upsampled_stream():
+    """Exact-mode tap-split (1x1-contract at native res -> resize -> 9
+    shifted adds) must equal resize-then-conv3x3 for upsampled streams with
+    C > 9*features."""
+    from flax import linen as fnn
+
+    from dspnet_tpu.models.layers import resize_bilinear_align_corners
+    from dspnet_tpu.models.seg_head import _ConcatConv3x3
+
+    rng = jax.random.PRNGKey(1)
+    F = 2  # 9F = 18, so the 32- and 24-channel streams take the split path
+    streams = [
+        jax.random.normal(jax.random.PRNGKey(10), (2, 4, 6, 32)),   # 2x up
+        jax.random.normal(jax.random.PRNGKey(11), (2, 2, 3, 24)),   # 4x up
+        jax.random.normal(jax.random.PRNGKey(12), (2, 8, 12, 8)),   # native
+    ]
+    grid = (8, 12)
+    m = _ConcatConv3x3(F)
+    v = m.init(rng, streams, grid)
+    got = m.apply(v, streams, grid)
+
+    resized = jnp.concatenate(
+        [resize_bilinear_align_corners(s, grid) for s in streams], axis=-1)
+    ref = fnn.Conv(F, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False).apply(
+        {"params": {"kernel": v["params"]["kernel"]}}, resized)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
