@@ -38,7 +38,7 @@ def main(argv=None):
     from dspnet_tpu.cli.common import parse_data_shape
     from dspnet_tpu.train.solver import MultiTaskSolver
     from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_prefix
-    from dspnet_tpu.utils.mxnet_import import load_params, map_resnet_backbone
+    from dspnet_tpu.utils.mxnet_import import load_params, map_multitask
     from dspnet_tpu.utils.transfer import merge_param_subtree
 
     import numpy as np
@@ -52,15 +52,26 @@ def main(argv=None):
     state = solver.init_state(jax.random.PRNGKey(233), jnp.zeros((1, H, W, 3)))
 
     mx_args, mx_auxs = load_params(args.params)
-    bb_params, bb_stats = map_resnet_backbone(mx_args, mx_auxs)
-    n_mapped = len(jax.tree.leaves(bb_params)) + len(jax.tree.leaves(bb_stats))
-    print(f"mapped {n_mapped} backbone arrays from {args.params}")
+    # full trained-checkpoint inventory (backbone + multi_feat + multibox +
+    # seg); a pretrained-backbone-only file simply maps its backbone subset
+    mapped_params, mapped_stats, unused = map_multitask(
+        mx_args, mx_auxs, args.network, H)
+    n_mapped = len(jax.tree.leaves(mapped_params)) + len(jax.tree.leaves(mapped_stats))
+    print(f"mapped {n_mapped} arrays from {args.params}")
+    if unused:
+        print(f"WARNING: {len(unused)} reference arrays not consumed: "
+              + ", ".join(sorted(unused)[:20]))
 
-    params = merge_param_subtree(state.params, {"backbone": bb_params})
+    params = state.params
     batch_stats = state.batch_stats
+    for top, sub in mapped_params.items():
+        params = merge_param_subtree(params, {top: sub}, subtree=top)
     if batch_stats:
-        batch_stats = merge_param_subtree(
-            dict(batch_stats), {"backbone": bb_stats}, strict_shapes=False)
+        batch_stats = dict(batch_stats)
+        for top, sub in mapped_stats.items():
+            if top in batch_stats:
+                batch_stats = merge_param_subtree(
+                    batch_stats, {top: sub}, subtree=top, strict_shapes=False)
     state = state.replace(params=params, batch_stats=batch_stats)
 
     prefix = checkpoint_prefix(args.model_dir, args.network, H)

@@ -156,6 +156,29 @@ def _conv_kernel(arr: np.ndarray) -> np.ndarray:
     return np.transpose(arr, (2, 3, 1, 0))
 
 
+def _deconv_kernel(arr: np.ndarray) -> np.ndarray:
+    """MXNet Deconvolution weight -> flax ConvTranspose kernel.
+
+    mx.sym.Deconvolution stores (in_channels, num_filter, kh, kw) and
+    computes the adjoint of correlation — equivalent to a fractionally
+    strided correlation with the SPATIALLY FLIPPED kernel. flax
+    ConvTranspose (transpose_kernel=False) is a fractionally strided
+    correlation with the kernel as-is, (kh, kw, in, out) layout — so the
+    import is transpose + spatial flip (models/layers.py Deconv2x note).
+    """
+    return np.ascontiguousarray(np.transpose(arr, (2, 3, 0, 1))[::-1, ::-1])
+
+
+def _deconv_kernel_inv(arr: np.ndarray) -> np.ndarray:
+    """flax ConvTranspose kernel -> MXNet Deconvolution weight."""
+    return np.ascontiguousarray(np.transpose(arr[::-1, ::-1], (2, 3, 0, 1)))
+
+
+def _conv_kernel_inv(arr: np.ndarray) -> np.ndarray:
+    """flax HWIO conv kernel -> MXNet OIHW weight."""
+    return np.ascontiguousarray(np.transpose(arr, (3, 2, 0, 1)))
+
+
 def map_resnet_backbone(args: Dict[str, np.ndarray], auxs: Dict[str, np.ndarray]):
     """Reference resnet param names -> (params, batch_stats) trees for
     models/resnet.ResNet (subtree contents for 'backbone').
@@ -205,3 +228,204 @@ def map_resnet_backbone(args: Dict[str, np.ndarray], auxs: Dict[str, np.ndarray]
             p = "mean" if m.group("p") == "mean" else "var"
             put(stats, mod + ("BatchNorm_0", p), arr)
     return params, stats
+
+
+# ------------------------------------------------- full multitask inventory
+
+
+#: seg-head modules with a plain conv ``<name>_weight`` (OIHW) — reference
+#: multitask_symbol_builder.py:272-317.  NOTE ``res5_reduced`` is absent by
+#: design: the reference declares that conv but its BN reads ``conv_feat``
+#: directly (the documented dead-conv quirk), so the weight never reaches a
+#: trained symbol's argument list.
+_SEG_CONVS = (
+    "res3_reduced", "res3_reduced2", "res4_reduced", "res4_reduced2",
+    "score2_pool1", "score2_pool2", "score2_pool4", "score3_conv",
+)
+#: seg-head BatchNorms — ALL fix_gamma=True in the reference (gamma saved as
+#: a frozen 1-vector in checkpoints; only beta + moving stats carry state).
+_SEG_BNS = (
+    "res3_reduced_bn", "res3_reduced2_bn", "res4_reduced_bn",
+    "res4_reduced2_bn", "res5_reduced_bn", "score2_pool1_bn",
+    "score2_pool2_bn", "score2_pool4_bn", "score3_conv_bn",
+)
+
+
+def det_tap_names(network: str, data_shape: int = 512):
+    """Ordered reference layer names feeding the multibox heads.
+
+    The reference derives head param names from the tap layer's symbol name
+    (common.py:244-259 ``{from_name}_loc_pred_conv``); named taps come from
+    the factory preset (multitask_symbol_factory.py:17-95), '' entries spawn
+    ``multi_feat_{k}_conv_3x3_relu`` layers (common.py:129-131). det/multi
+    tasks drop the finest tap from the SSD head (multitask_symbol_builder
+    .py:502-508); plain-ssd keeps all taps.
+    """
+    from dspnet_tpu.api import parse_network_name
+    from dspnet_tpu.models import factory
+
+    base, task = parse_network_name(network)
+    cfg = factory.get_config(base, data_shape)
+    if task in ("det", "multi"):
+        cfg = cfg.drop_first_tap()
+    return tuple(
+        nm if nm else "multi_feat_%d_conv_3x3_relu" % k
+        for k, nm in enumerate(cfg.from_layers)
+    )
+
+
+def map_multitask(args: Dict[str, np.ndarray], auxs: Dict[str, np.ndarray],
+                  network: str = "resnet-50_multi", data_shape: int = 512):
+    """Map a reference-TRAINED multitask checkpoint's full name inventory.
+
+    Extends :func:`map_resnet_backbone` (pretrained-backbone-only files) to
+    every head the reference trains (multi_train.py:370 saves the complete
+    symbol): multibox loc/cls preds (common.py:244-259), the multi_feat
+    extra layers (common.py:129-131), and the PSP seg head
+    (multitask_symbol_builder.py:272-317).
+
+    Returns ``(params, stats, unused)`` — params/stats are top-level trees
+    matching models/dspnet.DSPNet ({backbone, multi_feat, multibox, seg}),
+    ``unused`` the reference names nothing consumed (softmax/loss heads have
+    none; a non-empty list on a real checkpoint is a parity red flag).
+    """
+    taps = {nm: i for i, nm in enumerate(det_tap_names(network, data_shape))}
+
+    params: Dict = {}
+    stats: Dict = {}
+    consumed = set()
+
+    def put(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    tap_alt = "|".join(re.escape(t) for t in sorted(taps, key=len, reverse=True))
+    pred_rx = re.compile(
+        r"^(?P<tap>%s)_(?P<kind>loc|cls)_pred_conv_(?P<p>weight|bias)$" % tap_alt)
+    feat_rx = re.compile(
+        r"^(?P<mod>multi_feat_\d+_conv_(1x1|3x3))_conv_(?P<p>weight|bias)$")
+
+    for name, arr in args.items():
+        m = pred_rx.match(name)
+        if m:
+            i = taps[m.group("tap")]
+            leaf = _conv_kernel(arr) if m.group("p") == "weight" else arr
+            put(params, ("multibox", "%s_pred_%d" % (m.group("kind"), i),
+                         "kernel" if m.group("p") == "weight" else "bias"), leaf)
+            consumed.add(name)
+            continue
+        m = feat_rx.match(name)
+        if m:
+            leaf = _conv_kernel(arr) if m.group("p") == "weight" else arr
+            put(params, ("multi_feat", m.group("mod"), "conv",
+                         "kernel" if m.group("p") == "weight" else "bias"), leaf)
+            consumed.add(name)
+            continue
+        base = name[:-len("_weight")] if name.endswith("_weight") else None
+        if base in _SEG_CONVS:
+            put(params, ("seg", base, "kernel"), _conv_kernel(arr))
+            consumed.add(name)
+            continue
+        if name == "score4_conv_weight":
+            put(params, ("seg", "score4_conv", "ConvTranspose_0", "kernel"),
+                _deconv_kernel(arr))
+            consumed.add(name)
+            continue
+        for suffix, leaf_name in (("_beta", "bias"), ("_gamma", None)):
+            if name.endswith(suffix) and name[:-len(suffix)] in _SEG_BNS:
+                # gamma is the frozen fix_gamma 1-vector — consumed, dropped
+                if leaf_name:
+                    put(params, ("seg", name[:-len(suffix)], "BatchNorm_0",
+                                 leaf_name), arr)
+                consumed.add(name)
+                break
+
+    for name, arr in auxs.items():
+        for suffix, leaf_name in (("_moving_mean", "mean"), ("_moving_var", "var")):
+            if name.endswith(suffix) and name[:-len(suffix)] in _SEG_BNS:
+                put(stats, ("seg", name[:-len(suffix)], "BatchNorm_0",
+                            leaf_name), arr)
+                consumed.add("aux:" + name)
+                break
+
+    bb_args = {k: v for k, v in args.items() if k not in consumed}
+    bb_params, bb_stats = map_resnet_backbone(bb_args, auxs)
+    if bb_params:
+        params["backbone"] = bb_params
+    if bb_stats:
+        stats["backbone"] = bb_stats
+
+    # account for what the backbone map consumed (re-derive from its regexes)
+    bb_rx = re.compile(
+        r"^(bn_data|bn0|stage\d+_unit\d+_(bn\d|conv\d|sc)|conv0)_"
+        r"(gamma|beta|weight)$")
+    bbaux_rx = re.compile(
+        r"^(bn_data|bn0|stage\d+_unit\d+_bn\d)_moving_(mean|var)$")
+    unused = [n for n in args if n not in consumed and not bb_rx.match(n)]
+    unused += ["aux:" + n for n in auxs
+               if "aux:" + n not in consumed and not bbaux_rx.match(n)]
+    return params, stats, unused
+
+
+def export_multitask(params: Dict, batch_stats: Dict,
+                     network: str = "resnet-50_multi", data_shape: int = 512):
+    """Inverse of :func:`map_multitask`: flax trees -> (args, auxs) dicts
+    keyed by the reference's exact saved-checkpoint name inventory,
+    including the frozen ``gamma`` 1-vectors fix_gamma BNs persist.
+
+    Used to synthesize reference-layout ``.params`` fixtures for the
+    import→eval parity test, and to hand weights back to MXNet tooling.
+    """
+    taps = det_tap_names(network, data_shape)
+    args: Dict[str, np.ndarray] = {}
+    auxs: Dict[str, np.ndarray] = {}
+
+    def ref_name(path):
+        top = path[0]
+        if top == "backbone":
+            mod = "_".join(path[1:-1]).replace("_BatchNorm_0", "")
+            leaf = path[-1]
+            if leaf == "kernel":
+                return "arg", mod + "_weight", _conv_kernel_inv
+            if leaf in ("scale", "bias"):
+                return "arg", mod + ("_gamma" if leaf == "scale" else "_beta"), None
+            return "aux", mod + "_moving_" + leaf, None
+        if top == "multi_feat":
+            return "arg", "%s_conv_%s" % (
+                path[1], "weight" if path[-1] == "kernel" else "bias"), (
+                _conv_kernel_inv if path[-1] == "kernel" else None)
+        if top == "multibox":
+            kind, i = path[1].rsplit("_", 1)
+            return "arg", "%s_%s_conv_%s" % (
+                taps[int(i)], kind, "weight" if path[-1] == "kernel" else "bias"), (
+                _conv_kernel_inv if path[-1] == "kernel" else None)
+        if top == "seg":
+            if path[1] == "score4_conv":
+                return "arg", "score4_conv_weight", _deconv_kernel_inv
+            leaf = path[-1]
+            if leaf == "kernel":
+                return "arg", path[1] + "_weight", _conv_kernel_inv
+            if leaf == "bias":
+                return "arg", path[1] + "_beta", None
+            return "aux", path[1] + "_moving_" + leaf, None
+        raise KeyError("unmapped tree path %r" % (path,))
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, path + (k,))
+            return
+        where, name, tf = ref_name(path)
+        arr = np.asarray(tree, np.float32)
+        (args if where == "arg" else auxs)[name] = tf(arr) if tf else arr
+
+    walk(params, ())
+    walk(batch_stats or {}, ())
+
+    # frozen fix_gamma gammas: every BN beta without a matching gamma
+    for name in list(args):
+        if name.endswith("_beta") and name[:-5] + "_gamma" not in args:
+            args[name[:-5] + "_gamma"] = np.ones_like(args[name])
+    return args, auxs
