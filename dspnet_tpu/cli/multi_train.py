@@ -43,6 +43,15 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic samples")
     p.add_argument("--synthetic-dir", default="/tmp/dspnet_synth")
     p.add_argument("--num-devices", type=int, default=0, help="0 = all")
+    p.add_argument("--coordinator", default="",
+                   help="multi-process DP: coordinator host:port "
+                        "(jax.distributed). All processes run this CLI with "
+                        "the same flags plus their own --process-id; "
+                        "--batch-size is the GLOBAL batch")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="with --coordinator: total process count")
+    p.add_argument("--process-id", type=int, default=0,
+                   help="with --coordinator: this process's rank")
     p.add_argument("--model-parallel", type=int, default=1,
                    help="devices on the 'model' mesh axis (spatial image-width "
                         "partitioning of activations); data axis gets the rest")
@@ -83,6 +92,12 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.coordinator:
+        # must precede every other JAX call (backend not yet initialized);
+        # reference analog: the KVStore ctx list, train_multitask.py:235-246
+        from dspnet_tpu.parallel.mesh import distributed_init
+
+        distributed_init(args.coordinator, args.num_processes, args.process_id)
     log = setup_logging()
     H, W = args.data_shape
     bundle = create_model(args.network, (H, W), args.num_classes, remat=args.remat,
@@ -92,15 +107,20 @@ def main(argv=None):
 
     train_index = resolve_dataset(args, "train")
     # multi-host: each host reads its rank::world slice of the global epoch
+    # and loads 1/world of the global batch (mesh.shard_batch assembles)
     shard = (jax.process_index(), jax.process_count())
+    assert args.batch_size % shard[1] == 0, \
+        "--batch-size is global and must divide the process count"
+    local_batch = args.batch_size // shard[1]
     if shard != (0, 1):
-        log.info("input shard %d/%d", shard[0], shard[1])
+        log.info("input shard %d/%d, local batch %d", shard[0], shard[1],
+                 local_batch)
     if args.loader == "native":
         from dspnet_tpu.data.native_loader import NativeMultiTaskIterator, native_available
 
         assert native_available(), "build it first: make -C native"
         train_iter = NativeMultiTaskIterator(
-            train_index, args.batch_size, (H, W), enable_aug=True,
+            train_index, local_batch, (H, W), enable_aug=True,
             num_threads=args.loader_threads, shard=shard,
             device_normalize=args.native_u8,
         )
@@ -110,13 +130,13 @@ def main(argv=None):
         from dspnet_tpu.data.device_pipeline import DeviceAugIterator
 
         train_iter = DeviceAugIterator(
-            train_index, args.batch_size, (H, W), enable_aug=True, shard=shard,
+            train_index, local_batch, (H, W), enable_aug=True, shard=shard,
             num_threads=args.loader_threads, predownscale=args.predownscale,
         )
         log.info("using on-device augmentation pipeline%s",
                  " (host predownscale)" if args.predownscale else "")
     else:
-        train_iter = MultiTaskIterator(train_index, args.batch_size, (H, W),
+        train_iter = MultiTaskIterator(train_index, local_batch, (H, W),
                                        enable_aug=True, shard=shard)
 
     devices = jax.devices()
@@ -173,7 +193,12 @@ def main(argv=None):
             log.info("checkpoint saved: %s step %d", prefix, begin + epoch)
 
     eval_iter = None
-    if args.eval_every > 0:
+    if args.eval_every > 0 and shard[1] > 1:
+        # the per-epoch eval path (host-side metric accumulation over a
+        # single-process detector) is not collective; run multi_eval offline
+        # on the saved checkpoints instead
+        log.info("multi-process run: skipping per-epoch eval")
+    elif args.eval_every > 0:
         try:
             val_index = resolve_dataset(args, "val")
             eval_iter = MultiTaskIterator(

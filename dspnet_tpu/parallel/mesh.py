@@ -67,6 +67,36 @@ def batch_shardings_for(mesh: Mesh, batch, spatial: bool = False):
 
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
     """Place a host pytree onto the mesh, batch-sharded on axis 0 (images
-    additionally width-sharded over 'model' when ``spatial``)."""
+    additionally width-sharded over 'model' when ``spatial``).
+
+    Works across processes: under multi-process DP (distributed_init) each
+    process passes its LOCAL batch rows (global_batch / process_count —
+    the slice its input iterator produced via shard=(rank, world)) and the
+    result is the assembled GLOBAL jax.Array; single-process it is a plain
+    device_put. The reference analog is KVStore device batching
+    (train/train_multitask.py:235-246)."""
     shardings = batch_shardings_for(mesh, batch, spatial)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(shardings[k], np.asarray(v))
+            for k, v in batch.items()
+        }
     return {k: jax.device_put(v, shardings[k]) for k, v in batch.items()}
+
+
+def distributed_init(coordinator: str, num_processes: int, process_id: int,
+                     local_device_count: Optional[int] = None):
+    """Multi-process runtime init (pod-scale DP) — must run before any other
+    JAX call. Replaces the reference's KVStore context list
+    (train/train_multitask.py:235-246) with ``jax.distributed.initialize``:
+    afterwards jax.devices() is the GLOBAL device list and make_mesh/
+    shard_batch span all hosts, XLA collectives riding ICI."""
+    import jax.distributed
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=(list(range(local_device_count))
+                          if local_device_count else None),
+    )

@@ -303,12 +303,11 @@ class MultiTaskSolver:
 
         sharding = None
         if self.mesh is not None:
-            from dspnet_tpu.parallel.mesh import batch_sharding, shard_batch
+            from dspnet_tpu.parallel.mesh import shard_batch
 
-            if self.spatial:
-                sharding = partial(shard_batch, self.mesh, spatial=True)
-            else:
-                sharding = batch_sharding(self.mesh)
+            # shard_batch also assembles global arrays from per-process
+            # local batches under multi-process DP (mesh.distributed_init)
+            sharding = partial(shard_batch, self.mesh, spatial=self.spatial)
 
         for epoch in range(num_epochs):
             agg: Dict[str, Any] = {}

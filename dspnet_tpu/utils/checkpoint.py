@@ -29,7 +29,12 @@ class CheckpointManagerWrapper:
         self.prefix = prefix
         os.makedirs(prefix, exist_ok=True)
         options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, create=True)
-        self.mgr = ocp.CheckpointManager(prefix, options=options)
+        # pre-register the item handler: a restore-only manager otherwise has
+        # no handler for the 'default' item, so item_metadata() silently
+        # returns an empty tree (breaking the template-free restore_raw path)
+        self.mgr = ocp.CheckpointManager(
+            prefix, options=options,
+            item_handlers=ocp.StandardCheckpointHandler())
 
     def save(self, epoch: int, state: Any):
         payload = {
@@ -68,7 +73,28 @@ class CheckpointManagerWrapper:
         if epoch is None:
             epoch = self.mgr.latest_step()
         assert epoch is not None, f"no checkpoints under {self.prefix}"
-        return self.mgr.restore(epoch, args=ocp.args.StandardRestore()), epoch
+        # restore every leaf onto local device 0, then as host numpy: a
+        # template-free jax.Array restore replays the SAVED device topology,
+        # which fails for checkpoints written by a different mesh/process
+        # count (e.g. reading a pod-DP checkpoint on one host for transfer/
+        # eval); an explicit single-device sharding is topology-independent
+        # and the merge/transfer consumers re-place leaves anyway
+        import jax
+        import numpy as _np
+
+        one = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        meta = self.mgr.item_metadata(epoch)
+        meta = getattr(meta, "tree", meta)  # TreeMetadata wrapper -> plain tree
+
+        def as_abstract(m):
+            if getattr(m, "dtype", None) is None:  # scalar / non-array leaf
+                return ocp.RestoreArgs()
+            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=one)
+
+        template = jax.tree.map(as_abstract, meta)
+        restored = self.mgr.restore(
+            epoch, args=ocp.args.StandardRestore(template))
+        return jax.tree.map(_np.asarray, restored), epoch
 
     def latest_epoch(self) -> Optional[int]:
         return self.mgr.latest_step()

@@ -1,0 +1,128 @@
+"""Multi-process (pod) DP runtime wiring — jax.distributed.
+
+Two CPU processes x 2 virtual devices each form a 4-device global mesh;
+each process feeds its rank::world input slice (data/iterator.py
+shard_positions) and mesh.shard_batch assembles global batches with
+jax.make_array_from_process_local_data. The psum'd result must reproduce
+the single-process 4-device run: every host draws the same seed-233
+shuffle/aug tables, so the two topologies see the same global batches up to
+an in-batch permutation, and losses / gradients / BN batch stats are
+permutation-invariant up to fp reduction order.
+
+Reference analog: the KVStore GPU-list data parallelism this replaces
+(train/train_multitask.py:235-246).
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the driver must pin the platform BEFORE any backend initializes (the
+# environment's sitecustomize registers a remote-TPU backend)
+DRIVER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from dspnet_tpu.cli import multi_train
+multi_train.main(sys.argv[1:])
+"""
+
+NET = [
+    "--network", "resnet-18_multi", "--data-shape", "3,128,256",
+    "--num-classes", "8", "--batch-size", "4", "--end-epoch", "2",
+    "--eval-every", "0", "--seg-normalize", "valid", "--lr", "0.01",
+    "--synthetic", "4",
+]
+
+
+def _launch(args, n_local_devices):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=%d" % n_local_devices)
+    env.pop("JAX_PLATFORMS", None)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, "-c", DRIVER] + args, env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _restore_params(model_dir):
+    from dspnet_tpu.utils.checkpoint import (
+        CheckpointManagerWrapper, checkpoint_prefix)
+
+    mgr = CheckpointManagerWrapper(
+        checkpoint_prefix(model_dir, "resnet-18_multi", 128))
+    raw, epoch = mgr.restore_raw(None)
+    mgr.close()
+    return raw["params"], epoch
+
+
+def test_two_process_dp_matches_single_process(tmp_path):
+    synth = str(tmp_path / "synth")
+    m1 = str(tmp_path / "m1")
+    m2 = str(tmp_path / "m2")
+    common = NET + ["--synthetic-dir", synth]
+
+    # single-process, 4 virtual devices (also creates the synthetic set)
+    p = _launch(common + ["--model-dir", m1], 4)
+    out1, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out1[-4000:]
+
+    # two processes x 2 devices, same GLOBAL batch
+    port = _free_port()
+    dist = common + ["--model-dir", m2,
+                     "--coordinator", "127.0.0.1:%d" % port,
+                     "--num-processes", "2"]
+    procs = [_launch(dist + ["--process-id", str(i)], 2) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), (outs[0][-3000:],
+                                                   outs[1][-3000:])
+
+    params1, epoch1 = _restore_params(m1)
+    params2, epoch2 = _restore_params(m2)
+    assert epoch1 == epoch2 == 1
+
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves_with_path(params1)
+    leaves2 = {jax.tree_util.keystr(k): v
+               for k, v in jax.tree_util.tree_leaves_with_path(params2)}
+    assert len(leaves1) == len(leaves2)
+    # in-batch permutation changes fp reduction order, so near-zero leaves
+    # (fresh biases after 2 small steps) carry ~1e-5 absolute noise; a real
+    # wiring bug (dropped/duplicated shard, wrong rescale_grad) perturbs
+    # updates at their full 1e-4..1e-2 magnitude
+    for k, v1 in leaves1:
+        v2 = leaves2[jax.tree_util.keystr(k)]
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-2, atol=2e-4,
+            err_msg=jax.tree_util.keystr(k))
+    for _, v in leaves1:
+        assert np.isfinite(np.asarray(v)).all()
+
+    # sharper check: the FIRST epoch loss is a pure function of (init
+    # params, global batch set) — identical up to reduction order
+    import re
+
+    def first_loss(text):
+        m = re.search(r"epoch 0 done: .*?loss=([0-9.]+)", text)
+        assert m, text[-2000:]
+        return float(m.group(1))
+
+    l1 = first_loss(out1)
+    l2 = first_loss(outs[0])
+    assert abs(l1 - l2) / l1 < 1e-3, (l1, l2)
