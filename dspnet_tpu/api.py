@@ -38,9 +38,11 @@ def parse_network_name(name: str) -> Tuple[str, str]:
 
     Legacy names (reference symbol/legacy_vgg16_ssd_{300,512}.py, reachable
     via the factory's `legacy*` bypass, multitask_symbol_factory.py:116-118)
-    alias to the vgg16_reduced SSD preset at the matching resolution."""
+    get their own factory config: at 300 it equals the vgg16_reduced preset
+    layer-for-layer; at 512 the last extra layer is the legacy 4x4 conv
+    (1x1 anchor grid), which the preset does not reproduce."""
     if name.startswith("legacy_vgg16_ssd"):
-        return "vgg16_reduced", "ssd"
+        return "legacy_vgg16_ssd", "ssd"
     for suffix in ("_det", "_seg", "_multi"):
         if name.endswith(suffix):
             return name[: -len(suffix)], suffix[1:]

@@ -62,7 +62,7 @@ class DSPNet(nn.Module):
             det_cfg = cfg.drop_first_tap()
             layers = MultiLayerFeature(
                 det_cfg.num_filters, det_cfg.strides, det_cfg.pads,
-                det_cfg.min_filter, name="multi_feat",
+                det_cfg.min_filter, det_cfg.kernels, name="multi_feat",
             )([res4, conv_feat], train)
             loc_preds, cls_logits = MultiBoxHead(
                 self.num_classes + 1,
@@ -109,7 +109,8 @@ class SSDNet(nn.Module):
             raise NotImplementedError(cfg.network)
 
         layers = MultiLayerFeature(
-            cfg.num_filters, cfg.strides, cfg.pads, cfg.min_filter, name="multi_feat"
+            cfg.num_filters, cfg.strides, cfg.pads, cfg.min_filter,
+            cfg.kernels, name="multi_feat",
         )(taps, train)
         loc_preds, cls_logits = MultiBoxHead(
             self.num_classes + 1,

@@ -42,6 +42,11 @@ class NetConfig:
     normalizations: tuple
     steps: tuple
     min_filter: int = 128
+    #: per-extra-layer conv kernel size; () = all 3x3 (common.py:131-132).
+    #: Only the legacy 512 graph deviates: its last extra layer is a 4x4
+    #: conv (legacy_vgg16_ssd_512.py:117-118), shrinking the 2x2 stream to
+    #: a 1x1 anchor grid.
+    kernels: tuple = ()
 
     def drop_first_tap(self) -> "NetConfig":
         """The multitask builder removes the finest tap from the SSD head and
@@ -55,12 +60,24 @@ class NetConfig:
             sizes=self.sizes[1:],
             ratios=self.ratios[1:],
             normalizations=self.normalizations[1:] if self.normalizations else (),
+            kernels=self.kernels[1:] if self.kernels else (),
         )
 
 
 def get_config(network: str, data_shape: int) -> NetConfig:
     """Preset table (multitask_symbol_factory.py:17-95). ``data_shape`` is the
     input height (the reference keys presets off height only)."""
+    if network == "legacy_vgg16_ssd":
+        # the hand-written legacy graphs (legacy_vgg16_ssd_{300,512}.py).
+        # 300 is layer-for-layer the vgg16_reduced preset (filters/strides/
+        # pads/sizes/ratios/normalizations/steps all equal — proven in
+        # tests/test_models.py). 512 differs ONLY in the last extra layer:
+        # conv12_2 is a 4x4 pad-1 stride-1 conv (legacy_vgg16_ssd_512.py:
+        # 117-118), so the last anchor grid is 1x1, not the preset's 2x2.
+        cfg = get_config("vgg16_reduced", data_shape)
+        if data_shape >= 448:
+            cfg = dataclasses.replace(cfg, kernels=(-1, -1, 3, 3, 3, 3, 4))
+        return cfg
     if network == "vgg16_reduced":
         if data_shape >= 448:
             return NetConfig(
@@ -216,7 +233,8 @@ def feature_shapes(cfg: NetConfig, data_shape: Sequence[int]) -> list[tuple[int,
         else:
             ph, pw = shapes[-1]
             s, p = cfg.strides[k], cfg.pads[k]
-            shapes.append((_floor_out(ph, 3, s, p), _floor_out(pw, 3, s, p)))
+            ksz = cfg.kernels[k] if cfg.kernels else 3
+            shapes.append((_floor_out(ph, ksz, s, p), _floor_out(pw, ksz, s, p)))
     return shapes
 
 

@@ -39,6 +39,9 @@ class MultiLayerFeature(nn.Module):
     strides: tuple
     pads: tuple
     min_filter: int = 128
+    # per-layer conv kernel size; () = all 3x3. Only the legacy 512 SSD
+    # graph deviates (4x4 last layer, legacy_vgg16_ssd_512.py:117-118).
+    kernels: tuple = ()
 
     @nn.compact
     def __call__(self, tap_layers: Sequence, train: bool = False):
@@ -50,12 +53,14 @@ class MultiLayerFeature(nn.Module):
         n_taps = len(tap_layers)
         for k in range(n_taps, len(self.num_filters)):
             f, s, p = self.num_filters[k], self.strides[k], self.pads[k]
+            ksz = self.kernels[k] if self.kernels else 3
             assert f > 0
             num_1x1 = max(self.min_filter, f // 2)
             x = ConvAct(num_1x1, (1, 1), (1, 1), (0, 0), name=f"multi_feat_{k}_conv_1x1")(
                 layers[-1], train
             )
-            x = ConvAct(f, (3, 3), (s, s), (p, p), name=f"multi_feat_{k}_conv_3x3")(x, train)
+            x = ConvAct(f, (ksz, ksz), (s, s), (p, p),
+                        name=f"multi_feat_{k}_conv_3x3")(x, train)
             layers.append(x)
         return layers
 

@@ -279,3 +279,45 @@ def test_concat_conv_tap_split_upsampled_stream():
         {"params": {"kernel": v["params"]["kernel"]}}, resized)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_legacy_ssd_settled():
+    """Legacy hand-written SSD graphs (reference legacy_vgg16_ssd_{300,512}
+    .py): at 300 the graph is layer-for-layer the vgg16_reduced preset
+    (legacy_vgg16_ssd_300.py:100-123 vs symbol_factory vgg 300), so the
+    alias is exact; at 512 the last extra layer is a 4x4 pad-1 stride-1
+    conv (legacy_vgg16_ssd_512.py:117-118) shrinking the final anchor grid
+    to 1x1 — 24564 anchors, NOT the preset's 24576."""
+    from dspnet_tpu.api import create_model, parse_network_name
+    from dspnet_tpu.models import factory
+
+    # 300: proven alias — identical config and identical anchor table
+    cfg_p = factory.get_config("vgg16_reduced", 300)
+    cfg_l = factory.get_config("legacy_vgg16_ssd", 300)
+    assert cfg_l == cfg_p
+    np.testing.assert_array_equal(
+        factory.build_anchors(cfg_l, (300, 300)),
+        factory.build_anchors(cfg_p, (300, 300)))
+
+    # 512: own geometry
+    assert parse_network_name("legacy_vgg16_ssd_512") == ("legacy_vgg16_ssd", "ssd")
+    cfg512 = factory.get_config("legacy_vgg16_ssd", 512)
+    shapes = factory.feature_shapes(cfg512, (512, 512))
+    assert shapes == [(64, 64), (32, 32), (16, 16), (8, 8), (4, 4), (2, 2), (1, 1)]
+    # 4*64^2 + 6*32^2 + 6*16^2 + 6*8^2 + 6*4^2 + 4*2^2 + 4*1^2
+    anchors = factory.build_anchors(cfg512, (512, 512))
+    assert anchors.shape == (24564, 4)
+    # the lone last-grid anchor set sits at the image center (step 1.0)
+    cx = (anchors[-4:, 0] + anchors[-4:, 2]) / 2
+    cy = (anchors[-4:, 1] + anchors[-4:, 3]) / 2
+    np.testing.assert_allclose(cx, 0.5, atol=1e-6)
+    np.testing.assert_allclose(cy, 0.5, atol=1e-6)
+
+    bundle = create_model("legacy_vgg16_ssd_512", (512, 512), num_classes=20)
+    assert bundle.anchors.shape == (24564, 4)
+    v = jax.jit(lambda r, x: bundle.model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 512, 512, 3)))
+    k = v["params"]["multi_feat"]["multi_feat_6_conv_3x3"]["conv"]["kernel"]
+    assert k.shape == (4, 4, 128, 256), k.shape  # the legacy conv12_2
+    out = bundle.model.apply(v, jnp.zeros((2, 512, 512, 3)), train=False)
+    assert out["loc_preds"].shape == (2, 24564, 4)
