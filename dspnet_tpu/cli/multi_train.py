@@ -67,8 +67,10 @@ def parse_args(argv=None):
                    help="input pipeline: pure python, the native C++ loader, or "
                         "on-device augmentation (host decodes raw uint8 only)")
     p.add_argument("--loader-threads", type=int, default=8)
-    p.add_argument("--target-backend", default="xla", choices=["xla", "pallas"],
-                   help="bipartite-matching backend for target assignment")
+    p.add_argument("--target-backend", default="auto",
+                   choices=["auto", "xla", "pallas"],
+                   help="bipartite-matching backend for target assignment "
+                        "(auto: Pallas fused matcher on TPU, XLA elsewhere)")
     p.add_argument("--predownscale", action="store_true",
                    help="with --loader device: host-resize raws to the train "
                         "resolution before H2D (fewer bytes on the wire; "

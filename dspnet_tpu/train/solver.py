@@ -83,7 +83,7 @@ class MultiTaskSolver:
         negative_mining_thresh: float = 0.5,
         compute_dtype: str = "float32",
         spatial: bool = False,
-        target_backend: str = "xla",
+        target_backend: str = "auto",
     ):
         self.model = model
         self.anchors = jnp.asarray(anchors, jnp.float32)
@@ -96,7 +96,7 @@ class MultiTaskSolver:
         self.negative_mining_ratio = negative_mining_ratio
         self.negative_mining_thresh = negative_mining_thresh
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self.target_backend = target_backend  # 'xla' | 'pallas' bipartite matcher
+        self.target_backend = target_backend  # 'auto' | 'xla' | 'pallas' matcher
         self.tx = mxnet_sgd(
             learning_rate, momentum, weight_decay, rescale_grad=1.0 / batch_size
         )
