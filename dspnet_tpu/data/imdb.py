@@ -88,22 +88,27 @@ def load_imglist(fname: str, root: str = "", find_seg: bool = True) -> SampleInd
             path = parts[-1]
             if root and not os.path.isabs(path):
                 path = os.path.join(root, path)
-            seg = None
-            if find_seg:
-                # replace only in the basename (a directory component may
-                # also contain 'leftImg8bit' in the official layout)
-                d, b = os.path.split(path)
-                b = os.path.splitext(b)[0].replace(
-                    "leftImg8bit", "gtFine_labelTrainIds") + ".png"
-                for cand_dir in (d.replace("JPEGImages", "SegmentationClass"),
-                                 d.replace(os.sep + "leftImg8bit" + os.sep,
-                                           os.sep + "gtFine" + os.sep)):
-                    cand = os.path.join(cand_dir, b)
-                    if os.path.exists(cand):
-                        seg = cand
-                        break
+            seg = find_seg_for(path) if find_seg else None
             samples.append(Sample(path, SampleIndex.pad_label(rows[:, :LABEL_WIDTH]), seg))
     return SampleIndex(samples)
+
+
+def find_seg_for(image_path: str):
+    """Sibling seg mask by the DSPNet naming rule (JPEGImages/
+    x_leftImg8bit.jpg -> SegmentationClass/x_gtFine_labelTrainIds.png — the
+    record-id -> seg-path map of reference dataset/iterator.py:386-394);
+    None when absent. Replaces only in the basename (a directory component
+    may also contain 'leftImg8bit' in the official layout)."""
+    d, b = os.path.split(image_path)
+    b = os.path.splitext(b)[0].replace(
+        "leftImg8bit", "gtFine_labelTrainIds") + ".png"
+    for cand_dir in (d.replace("JPEGImages", "SegmentationClass"),
+                     d.replace(os.sep + "leftImg8bit" + os.sep,
+                               os.sep + "gtFine" + os.sep)):
+        cand = os.path.join(cand_dir, b)
+        if os.path.exists(cand):
+            return cand
+    return None
 
 
 def _parse_voc_xml(xml_path: str, classes: Sequence[str], with_distance: bool):

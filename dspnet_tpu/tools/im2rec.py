@@ -22,6 +22,9 @@ import argparse
 def main(argv=None):
     p = argparse.ArgumentParser(description="Pack a dataset into .drec records.")
     p.add_argument("--lst", help=".lst file written by Imdb.save_imglist")
+    p.add_argument("--from-rec", help="MXNet-packed .rec (reference "
+                   "tools/im2rec.py output) to migrate one-way into .drec; "
+                   "--lst recovers paths + seg masks")
     p.add_argument("--root", default="", help="root joined to relative .lst paths")
     p.add_argument("--no-seg", action="store_true",
                    help="skip the seg-mask lookup for .lst inputs")
@@ -32,6 +35,12 @@ def main(argv=None):
 
     from dspnet_tpu.data import imdb, record
 
+    if args.from_rec:
+        from dspnet_tpu.data import rec_import
+
+        rec_import.convert_rec(args.from_rec, args.out, lst_path=args.lst,
+                               root=args.root)
+        return
     if args.lst:
         index = imdb.load_imglist(args.lst, args.root, find_seg=not args.no_seg)
     elif args.dataset_root:
