@@ -56,6 +56,12 @@ def parse_args(argv=None):
                    help="devices on the 'model' mesh axis (spatial image-width "
                         "partitioning of activations); data axis gets the rest")
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--monitor", type=int, default=0,
+                   help="log param stats every N batches (reference "
+                        "mx.mon.Monitor, multi_train.py:76-79,379); fetches "
+                        "the full state to host - debugging only")
+    p.add_argument("--pattern", default=".*",
+                   help="with --monitor: regex of param paths to log")
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save every N epochs (reference: every epoch); the "
@@ -209,6 +215,13 @@ def main(argv=None):
         except (FileNotFoundError, AssertionError):
             log.info("no validation split found; skipping per-epoch eval")
 
+    batch_cb = None
+    if args.monitor > 0:
+        from dspnet_tpu.utils.profiler import StatMonitor
+
+        mon = StatMonitor(interval=args.monitor, pattern=args.pattern, logger=log)
+        batch_cb = lambda st, n: mon.tic_toc(st.params)  # noqa: E731
+
     state = solver.fit(
         state,
         train_iter,
@@ -219,6 +232,7 @@ def main(argv=None):
         log_fn=log.info,
         epoch_end_callback=epoch_cb,
         log_every=args.log_every,
+        batch_end_callback=batch_cb,
     )
     ckpt.close()
     return state

@@ -294,6 +294,7 @@ class MultiTaskSolver:
         log_fn=print,
         epoch_end_callback=None,
         log_every: int = 20,
+        batch_end_callback=None,
     ) -> TrainState:
         """Reference-style fit loop (multi_solver.py:182-353): per-batch train
         step, periodic metric logging, per-epoch checkpoint callback. Batches
@@ -324,6 +325,10 @@ class MultiTaskSolver:
                 if n % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}  # sync point
                     log_fn(f"epoch {epoch} batch {n}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                if batch_end_callback is not None:
+                    # reference batch_end_callback slot (multi_solver.py:
+                    # 341-345) — e.g. StatMonitor (mx.mon.Monitor analog)
+                    batch_end_callback(state, n)
             if n:
                 log_fn(f"epoch {epoch} done: " + ", ".join(
                     f"{k}={float(v) / counts[k]:.4f}" for k, v in agg.items()))

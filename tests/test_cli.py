@@ -127,3 +127,24 @@ def test_checkpoint_every(workdir):
         if os.path.basename(p).isdigit()
     )
     assert steps == [1, 2], steps  # epoch 1 (every-2) + final epoch 2
+
+
+def test_monitor_flag(workdir, caplog):
+    """--monitor/--pattern logs param stats every N batches (reference
+    mx.mon.Monitor surface, multi_train.py:76-79,379)."""
+    import logging
+
+    from dspnet_tpu.cli import multi_train
+
+    with caplog.at_level(logging.INFO):
+        multi_train.main(NET + DEV + [
+            "--batch-size", "2", "--synthetic", "4",
+            "--synthetic-dir", str(workdir / "synth"),
+            "--end-epoch", "1", "--eval-every", "0",
+            "--model-dir", str(workdir / "model_mon"),
+            "--seg-normalize", "valid",
+            "--monitor", "1", "--pattern", r"backbone/conv0",
+        ])
+    lines = [r.message for r in caplog.records if r.message.startswith("monitor ")]
+    assert lines and all("backbone/conv0" in l for l in lines)
+    assert any("mean=" in l and "shape=" in l for l in lines)
