@@ -118,7 +118,7 @@ def main(argv=None):
     # and loads 1/world of the global batch (mesh.shard_batch assembles)
     shard = (jax.process_index(), jax.process_count())
     assert args.batch_size % shard[1] == 0, \
-        "--batch-size is global and must divide the process count"
+        "--batch-size is global and must be a multiple of the process count"
     local_batch = args.batch_size // shard[1]
     if shard != (0, 1):
         log.info("input shard %d/%d, local batch %d", shard[0], shard[1],

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import os
 import struct
+import tempfile
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -48,34 +49,37 @@ def read_records(rec_path: str) -> Iterator[Tuple[int, int, bytes]]:
 
     ``payload_offset`` is the byte offset of the (joined) payload within the
     file, or -1 for multipart records (whose payload is not contiguous on
-    disk and cannot be served by span)."""
-    with open(rec_path, "rb") as f:
-        data = f.read()
-    pos = 0
+    disk and cannot be served by span). Streams record-by-record — a
+    reference-packed .rec can be multi-GB and must not be slurped whole."""
     parts: List[bytes] = []
-    while pos + 8 <= len(data):
-        magic, lrec = struct.unpack_from("<II", data, pos)
-        assert magic == KMAGIC, (
-            f"{rec_path}: bad record magic {magic:#x} at offset {pos}")
-        length = lrec & _LEN_MASK
-        cflag = lrec >> 29
-        payload = data[pos + 8 : pos + 8 + length]
-        start = pos + 8
-        pos += 8 + length
-        pos += (-length) % 4  # zero padding to the next 4-byte boundary
-        if cflag == 0:
-            assert not parts, f"{rec_path}: complete record inside multipart"
-            yield start, length, payload
-        elif cflag == 1:
-            assert not parts, f"{rec_path}: nested multipart start"
-            parts = [payload]
-        elif cflag in (2, 3):
-            assert parts, f"{rec_path}: multipart continuation without start"
-            parts.append(payload)
-            if cflag == 3:
-                joined = _MAGIC_BYTES.join(parts)
-                parts = []
-                yield -1, len(joined), joined
+    with open(rec_path, "rb") as f:
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            magic, lrec = struct.unpack("<II", head)
+            assert magic == KMAGIC, (
+                f"{rec_path}: bad record magic {magic:#x} at offset "
+                f"{f.tell() - 8}")
+            length = lrec & _LEN_MASK
+            cflag = lrec >> 29
+            start = f.tell()
+            payload = f.read(length)
+            assert len(payload) == length, f"{rec_path}: truncated record"
+            f.seek((-length) % 4, 1)  # zero padding to a 4-byte boundary
+            if cflag == 0:
+                assert not parts, f"{rec_path}: complete record inside multipart"
+                yield start, length, payload
+            elif cflag == 1:
+                assert not parts, f"{rec_path}: nested multipart start"
+                parts = [payload]
+            else:
+                assert parts, f"{rec_path}: multipart continuation without start"
+                parts.append(payload)
+                if cflag == 3:
+                    joined = _MAGIC_BYTES.join(parts)
+                    parts = []
+                    yield -1, len(joined), joined
     assert not parts, f"{rec_path}: unterminated multipart record"
 
 
@@ -143,8 +147,11 @@ def load_rec_index(rec_path: str, lst_path: Optional[str] = None,
     Labels come from the packed record vectors; ``lst_path`` (the sidecar
     the reference keeps next to the .rec) recovers image path strings and
     the seg-mask lookup keyed by record id (dataset/iterator.py:386-394).
-    Multipart records are materialized through a temp sidecar file next to
-    the .rec so every sample stays span-backed.
+    Multipart records (payload not contiguous on disk — JPEG bytes that
+    happened to contain kMagic) are materialized through a per-process
+    temp file so every sample stays span-backed; the dataset mount may be
+    read-only and other processes may be reading the same .rec, so the
+    temp file never lives next to the source.
     """
     key_to_path = {}
     if lst_path:
@@ -157,7 +164,9 @@ def load_rec_index(rec_path: str, lst_path: Optional[str] = None,
     from dspnet_tpu.data import imdb
 
     samples = []
-    side_path = rec_path + ".joined"
+    side_path = os.path.join(
+        tempfile.gettempdir(),
+        "%s.joined.%d" % (os.path.basename(rec_path), os.getpid()))
     side = None
     for start, length, payload in read_records(rec_path):
         rid, vec, img_off, img = unpack_payload(payload)

@@ -51,33 +51,40 @@ class _ConcatConv3x3(nn.Module):
     reference (conv and resize don't commute); train and eval with the same
     setting. Parameter shapes are identical in both modes.
 
-    Exact-mode tap-split optimization: for an UPSAMPLED stream with
-    ``C > 9*features``, resize-then-conv3x3 is computed as
-    1x1-conv-at-native-res (C -> 9*features per-tap channels, f32) ->
-    resize -> 9 shifted adds. Channel contraction commutes with the
-    (channel-preserving, linear) bilinear resize and with spatial shifts,
-    so this is the SAME linear map — only fp summation order differs (and
-    the f32 intermediate is strictly more precise than the bf16 resize it
-    replaces). The 2048-channel PSP stream never materializes at grid
-    resolution: ~6x less HBM traffic on the head's dominant stream."""
+    Exact-mode tap-split optimization: for every UPSAMPLED stream,
+    resize-then-conv3x3 is computed as 1x1-conv-at-native-res
+    (C -> 9*features per-tap channels) -> resize -> 9 shifted adds.
+    Channel contraction commutes with the (channel-preserving, linear)
+    bilinear resize and with spatial shifts, so this is the SAME linear
+    map — only fp summation order differs. The 2048-channel PSP stream
+    never materializes at grid resolution (~6x less HBM traffic on the
+    head's dominant stream), and no upsampled stream pays a grid-res 3x3.
+    Streams sharing a native resolution (the identity-pool branch and the
+    top feature, both H/32) are contracted together and share one
+    resize + shifted-add pass. Contractions run in f32 while training
+    (grad fidelity) and in the serving dtype at inference; the shifted
+    adds always accumulate in f32, like the MXU conv accumulator."""
 
     features: int
     fast: bool = False
 
-    def _upsample_tap_split(self, s, k, grid_hw):
-        """conv3x3(resize(s), k) via contract-resize-shift; returns f32."""
-        f = self.features
+    def _tap_contract(self, s, k, acc_dtype):
+        """1x1 tap contraction: (3,3,c,f) kernel -> (1,1,c,9f), tap-major
+        output channels (ky,kx,f)."""
         c = s.shape[-1]
-        # (3,3,c,f) -> (1,1,c,9f) with tap-major output channels (ky,kx,f)
-        k1 = k.astype(jnp.float32).transpose(2, 0, 1, 3).reshape(1, 1, c, 9 * f)
-        z = jax.lax.conv_general_dilated(
-            s.astype(jnp.float32), k1, (1, 1), [(0, 0), (0, 0)],
+        k1 = k.astype(acc_dtype).transpose(2, 0, 1, 3).reshape(
+            1, 1, c, 9 * self.features)
+        return jax.lax.conv_general_dilated(
+            s.astype(acc_dtype), k1, (1, 1), [(0, 0), (0, 0)],
             dimension_numbers=jax.lax.conv_dimension_numbers(
                 s.shape, k1.shape, ("NHWC", "HWIO", "NHWC")),
         )
-        z = resize_bilinear_align_corners(z, grid_hw)
+
+    @staticmethod
+    def _shifted_taps(z, f, grid_hw):
+        """Sum the 9 resized tap channels with their spatial shifts (f32)."""
         th, tw = int(grid_hw[0]), int(grid_hw[1])
-        zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        zp = jnp.pad(z.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
         out = None
         for t in range(9):
             dy, dx = t // 3, t % 3
@@ -88,7 +95,7 @@ class _ConcatConv3x3(nn.Module):
         return out
 
     @nn.compact
-    def __call__(self, streams, grid_hw):
+    def __call__(self, streams, grid_hw, train: bool = False):
         total_c = sum(s.shape[-1] for s in streams)
         kernel = self.param(
             "kernel",
@@ -96,33 +103,48 @@ class _ConcatConv3x3(nn.Module):
             (3, 3, total_c, self.features),
         )
         dn = ("NHWC", "HWIO", "NHWC")
+        f = self.features
+        # exact mode: tap contractions/resizes run in f32 during TRAINING
+        # (grad fidelity through the reduce convs); at inference they run in
+        # the serving dtype, like the resize-then-conv they replace would —
+        # the f32 shifted-add accumulation below matches the conv's MXU f32
+        # accumulator either way
+        acc_dtype = jnp.float32 if train else streams[0].dtype
+
+        split_groups = {}  # (h, w) -> list of (stream, kernel slice)
         out = None
         off = 0
         for s in streams:
             c = s.shape[-1]
             k = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
-            if (not self.fast and s.shape[1:3] != tuple(grid_hw)
-                    and c > 9 * self.features):
-                y = self._upsample_tap_split(s, k, grid_hw)
-            else:
-                if not self.fast:
-                    s = resize_bilinear_align_corners(s, grid_hw)
-                k = k.astype(s.dtype)
-                y = jax.lax.conv_general_dilated(
-                    s, k, (1, 1), [(1, 1), (1, 1)],
-                    dimension_numbers=jax.lax.conv_dimension_numbers(
-                        s.shape, k.shape, dn),
-                )
-                if self.fast and y.shape[1:3] != tuple(grid_hw):
-                    y = resize_bilinear_align_corners(y, grid_hw)
-                # sum the partial outputs in f32 so bf16 mode accumulates
-                # like the single nn.Conv this replaces (per-conv
-                # accumulation is f32 inside the MXU either way;
-                # preferred_element_type=f32 is not usable here — its VJP
-                # produces a mixed-dtype conv)
-                y = y.astype(jnp.float32)
-            out = y if out is None else out + y
             off += c
+            if not self.fast and s.shape[1:3] != tuple(grid_hw):
+                # exact-mode tap-split for EVERY upsampled stream: contract
+                # channels at native res, resize the 9f-channel result,
+                # combine with 9 shifted adds (see class docstring). Streams
+                # sharing a resolution are contracted together and pay ONE
+                # resize + shifted-add pass (sum of convs == conv of concat).
+                split_groups.setdefault(s.shape[1:3], []).append((s, k))
+                continue
+            y = jax.lax.conv_general_dilated(
+                s, k.astype(s.dtype), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=jax.lax.conv_dimension_numbers(
+                    s.shape, k.shape, dn),
+            )
+            if self.fast and y.shape[1:3] != tuple(grid_hw):
+                y = resize_bilinear_align_corners(y, grid_hw)
+            # sum the partial outputs in f32 so bf16 mode accumulates like
+            # the single nn.Conv this replaces (per-conv accumulation is f32
+            # inside the MXU either way; preferred_element_type=f32 is not
+            # usable here — its VJP produces a mixed-dtype conv)
+            y = y.astype(jnp.float32)
+            out = y if out is None else out + y
+
+        for hw, group in split_groups.items():
+            z = sum(self._tap_contract(s, k, acc_dtype) for s, k in group)
+            z = resize_bilinear_align_corners(z, grid_hw)
+            y = self._shifted_taps(z, f, grid_hw)
+            out = y if out is None else out + y
         return out.astype(streams[0].dtype)
 
 
@@ -158,6 +180,6 @@ class SegHead(nn.Module):
 
         streams = [s4, s2, s1, r5, r4, r3]  # concat order: builder.py:582
         x = _ConcatConv3x3(self.seg_classes, fast=self.fast,
-                           name="score3_conv")(streams, grid_hw)
+                           name="score3_conv")(streams, grid_hw, train)
         x = BatchNorm(fix_gamma=True, name="score3_conv_bn")(x, train)
         return Deconv2x(self.seg_classes, name="score4_conv")(x)

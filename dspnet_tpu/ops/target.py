@@ -262,8 +262,13 @@ def multibox_target(
         variances=variances,
     )
     if bipartite_backend == "auto":
+        # pallas only on TPU backends (the kernel targets Mosaic; TPU may
+        # surface under a bridge platform name, e.g. "axon") — CPU would run
+        # it in interpret mode and GPU can't lower it, so those take the
+        # XLA while-loop path
         bipartite_backend = (
-            "pallas" if jax.default_backend() not in ("cpu",) else "xla")
+            "xla" if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+            else "pallas")
     if bipartite_backend == "pallas":
         from dspnet_tpu.ops import matching_pallas
 

@@ -77,6 +77,15 @@ def shard_batch(mesh: Mesh, batch, spatial: bool = False):
     (train/train_multitask.py:235-246)."""
     shardings = batch_shardings_for(mesh, batch, spatial)
     if jax.process_count() > 1:
+        for k, v in batch.items():
+            if isinstance(v, jax.Array):
+                # a device-resident batch (e.g. --loader device) would pay a
+                # silent full D2H here before re-upload; refuse rather than
+                # quietly defeating the loader's purpose
+                raise ValueError(
+                    f"multi-process shard_batch needs HOST batches, got a "
+                    f"jax.Array for '{k}' — use a host loader "
+                    f"(--loader python/native) with --coordinator")
         return {
             k: jax.make_array_from_process_local_data(shardings[k], np.asarray(v))
             for k, v in batch.items()

@@ -179,6 +179,16 @@ def _conv_kernel_inv(arr: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.transpose(arr, (3, 2, 0, 1)))
 
 
+#: backbone name patterns (symbol/resnet.py contract) — shared between
+#: map_resnet_backbone (consumption) and map_multitask (unused accounting)
+_BB_BN_RX = re.compile(
+    r"^(?P<mod>bn_data|bn0|(stage\d+_unit\d+)_(bn\d))_(?P<p>gamma|beta)$")
+_BB_BNAUX_RX = re.compile(
+    r"^(?P<mod>bn_data|bn0|(stage\d+_unit\d+)_(bn\d))_moving_(?P<p>mean|var)$")
+_BB_CONV_RX = re.compile(
+    r"^(?P<mod>conv0|(stage\d+_unit\d+)_(conv\d|sc))_weight$")
+
+
 def map_resnet_backbone(args: Dict[str, np.ndarray], auxs: Dict[str, np.ndarray]):
     """Reference resnet param names -> (params, batch_stats) trees for
     models/resnet.ResNet (subtree contents for 'backbone').
@@ -195,11 +205,7 @@ def map_resnet_backbone(args: Dict[str, np.ndarray], auxs: Dict[str, np.ndarray]
             node = node.setdefault(k, {})
         node[path[-1]] = leaf
 
-    bn_rx = re.compile(r"^(?P<mod>bn_data|bn0|(stage\d+_unit\d+)_(bn\d))_(?P<p>gamma|beta)$")
-    bnaux_rx = re.compile(
-        r"^(?P<mod>bn_data|bn0|(stage\d+_unit\d+)_(bn\d))_moving_(?P<p>mean|var)$"
-    )
-    conv_rx = re.compile(r"^(?P<mod>conv0|(stage\d+_unit\d+)_(conv\d|sc))_weight$")
+    bn_rx, bnaux_rx, conv_rx = _BB_BN_RX, _BB_BNAUX_RX, _BB_CONV_RX
 
     def module_path(mod: str):
         if "_" in mod and mod.startswith("stage"):
@@ -357,15 +363,11 @@ def map_multitask(args: Dict[str, np.ndarray], auxs: Dict[str, np.ndarray],
     if bb_stats:
         stats["backbone"] = bb_stats
 
-    # account for what the backbone map consumed (re-derive from its regexes)
-    bb_rx = re.compile(
-        r"^(bn_data|bn0|stage\d+_unit\d+_(bn\d|conv\d|sc)|conv0)_"
-        r"(gamma|beta|weight)$")
-    bbaux_rx = re.compile(
-        r"^(bn_data|bn0|stage\d+_unit\d+_bn\d)_moving_(mean|var)$")
-    unused = [n for n in args if n not in consumed and not bb_rx.match(n)]
+    # unused accounting uses the SAME patterns the backbone mapper consumes
+    unused = [n for n in args if n not in consumed
+              and not _BB_BN_RX.match(n) and not _BB_CONV_RX.match(n)]
     unused += ["aux:" + n for n in auxs
-               if "aux:" + n not in consumed and not bbaux_rx.match(n)]
+               if "aux:" + n not in consumed and not _BB_BNAUX_RX.match(n)]
     return params, stats, unused
 
 

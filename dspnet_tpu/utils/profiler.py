@@ -34,13 +34,19 @@ def trace(log_dir: str = "/tmp/dspnet_trace"):
         jax.profiler.stop_trace()
 
 
-def tensor_stats(tree, prefix: str = "") -> Dict[str, str]:
-    """Per-leaf shape/mean/std summary of a pytree (stat_helper equivalent)."""
+def tensor_stats(tree, prefix: str = "", name_filter=None) -> Dict[str, str]:
+    """Per-leaf shape/mean/std summary of a pytree (stat_helper equivalent).
+
+    ``name_filter(name) -> bool`` is applied BEFORE fetching a leaf: each
+    np.asarray is a device->host round trip (serial and expensive over a
+    remote-TPU tunnel), so non-matching leaves must never be pulled."""
     import jax
 
     out = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
         name = prefix + "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        if name_filter is not None and not name_filter(name):
+            continue
         arr = np.asarray(leaf)
         out[name] = f"shape={arr.shape} mean={arr.mean():.5f} std={arr.std():.5f}"
     return out
@@ -62,9 +68,9 @@ class StatMonitor:
         self._step += 1
         if self._step % self.interval:
             return
-        for name, stat in tensor_stats(tree).items():
-            if self.rx.search(name):
-                self.log("monitor %s %s", name, stat)
+        # filter by path BEFORE fetching: only matching leaves pay the D2H
+        for name, stat in tensor_stats(tree, name_filter=self.rx.search).items():
+            self.log("monitor %s %s", name, stat)
 
 
 class Speedometer:

@@ -254,31 +254,34 @@ def test_space_to_depth_conv_matches_plain_conv():
 
 def test_concat_conv_tap_split_upsampled_stream():
     """Exact-mode tap-split (1x1-contract at native res -> resize -> 9
-    shifted adds) must equal resize-then-conv3x3 for upsampled streams with
-    C > 9*features."""
+    shifted adds, same-resolution streams grouped) must equal
+    resize-then-conv3x3 for every upsampled stream, in train (f32
+    contraction) and eval mode."""
     from flax import linen as fnn
 
     from dspnet_tpu.models.layers import resize_bilinear_align_corners
     from dspnet_tpu.models.seg_head import _ConcatConv3x3
 
     rng = jax.random.PRNGKey(1)
-    F = 2  # 9F = 18, so the 32- and 24-channel streams take the split path
+    F = 2
     streams = [
         jax.random.normal(jax.random.PRNGKey(10), (2, 4, 6, 32)),   # 2x up
+        jax.random.normal(jax.random.PRNGKey(13), (2, 4, 6, 16)),   # 2x up (grouped)
         jax.random.normal(jax.random.PRNGKey(11), (2, 2, 3, 24)),   # 4x up
         jax.random.normal(jax.random.PRNGKey(12), (2, 8, 12, 8)),   # native
     ]
     grid = (8, 12)
     m = _ConcatConv3x3(F)
     v = m.init(rng, streams, grid)
-    got = m.apply(v, streams, grid)
 
     resized = jnp.concatenate(
         [resize_bilinear_align_corners(s, grid) for s in streams], axis=-1)
     ref = fnn.Conv(F, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False).apply(
         {"params": {"kernel": v["params"]["kernel"]}}, resized)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-4, atol=1e-4)
+    for train in (False, True):
+        got = m.apply(v, streams, grid, train)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_legacy_ssd_settled():
@@ -321,3 +324,26 @@ def test_legacy_ssd_settled():
     assert k.shape == (4, 4, 128, 256), k.shape  # the legacy conv12_2
     out = bundle.model.apply(v, jnp.zeros((2, 512, 512, 3)), train=False)
     assert out["loc_preds"].shape == (2, 24564, 4)
+
+
+def test_deconv2x_phase_conv_equivalence():
+    """Deconv2x(phase_conv=True) — the subpixel-phase conv + depth-to-space
+    formulation — must match the ConvTranspose path for arbitrary kernels,
+    with an identical param tree (checkpoint contract)."""
+    from dspnet_tpu.models.layers import Deconv2x
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 5, 7, 6).astype(np.float32))
+    m0, m1 = Deconv2x(3), Deconv2x(3, phase_conv=True)
+    v0 = m0.init(jax.random.PRNGKey(0), x)
+    v1 = m1.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(v0)
+            == jax.tree_util.tree_structure(v1))
+    for a, b in zip(jax.tree.leaves(v0), jax.tree.leaves(v1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    k = jnp.asarray(rng.randn(4, 4, 6, 3).astype(np.float32))
+    p = {"params": {"ConvTranspose_0": {"kernel": k}}}
+    np.testing.assert_allclose(
+        np.asarray(m0.apply(p, x)), np.asarray(m1.apply(p, x)),
+        rtol=1e-5, atol=1e-5)
