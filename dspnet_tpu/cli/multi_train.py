@@ -233,6 +233,7 @@ def main(argv=None):
         epoch_end_callback=epoch_cb,
         log_every=args.log_every,
         batch_end_callback=batch_cb,
+        epoch_offset=begin,
     )
     ckpt.close()
     return state

@@ -295,11 +295,17 @@ class MultiTaskSolver:
         epoch_end_callback=None,
         log_every: int = 20,
         batch_end_callback=None,
+        epoch_offset: int = 0,
     ) -> TrainState:
         """Reference-style fit loop (multi_solver.py:182-353): per-batch train
         step, periodic metric logging, per-epoch checkpoint callback. Batches
         are prefetched to device on a background thread so the step never
-        stalls on host->device transfer."""
+        stalls on host->device transfer.
+
+        ``epoch_offset`` shifts the epoch numbers in log lines (a resumed run
+        reports absolute epochs, like the reference's begin_epoch-based loop,
+        multi_solver.py:232); callbacks still receive the 0-based loop epoch.
+        """
         from dspnet_tpu.data.prefetch import prefetch_to_device
 
         sharding = None
@@ -311,6 +317,7 @@ class MultiTaskSolver:
             sharding = partial(shard_batch, self.mesh, spatial=self.spatial)
 
         for epoch in range(num_epochs):
+            ep = epoch + epoch_offset  # absolute epoch for log lines
             agg: Dict[str, Any] = {}
             counts: Dict[str, int] = {}  # seg keys appear only on seg batches
             n = 0
@@ -324,13 +331,13 @@ class MultiTaskSolver:
                     counts[k] = counts.get(k, 0) + 1
                 if n % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}  # sync point
-                    log_fn(f"epoch {epoch} batch {n}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                    log_fn(f"epoch {ep} batch {n}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
                 if batch_end_callback is not None:
                     # reference batch_end_callback slot (multi_solver.py:
                     # 341-345) — e.g. StatMonitor (mx.mon.Monitor analog)
                     batch_end_callback(state, n)
             if n:
-                log_fn(f"epoch {epoch} done: " + ", ".join(
+                log_fn(f"epoch {ep} done: " + ", ".join(
                     f"{k}={float(v) / counts[k]:.4f}" for k, v in agg.items()))
             if epoch_end_callback is not None:
                 epoch_end_callback(epoch, state)
@@ -343,7 +350,7 @@ class MultiTaskSolver:
                     self._val_detector = self.make_detector(state, data_shape)
                 self._val_detector.update_variables(self.detector_variables(state))
                 results = evaluate_model(self._val_detector, eval_iter, log_fn=log_fn)
-                log_fn(f"epoch {epoch} validation: " + ", ".join(
+                log_fn(f"epoch {ep} validation: " + ", ".join(
                     f"{k}={v:.4f}" for k, v in results.items()
                     if isinstance(v, float) and k in ("mAP", "mIoU", "accuracy", "derror")))
             # (MultiTaskIterator reshuffles + resamples aug params in its own
