@@ -30,6 +30,8 @@ def resolve_dataset(args, split: str):
 
     if getattr(args, "synthetic", 0):
         n = int(args.synthetic)
+        if split != "train" and getattr(args, "synthetic_val", 0):
+            n = int(args.synthetic_val)
         root = os.path.join(getattr(args, "synthetic_dir", "/tmp/dspnet_synth"), split)
         return synthetic.build_dataset(
             root,

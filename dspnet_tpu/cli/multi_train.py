@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--model-dir", default="model")
     p.add_argument("--dataset-root", default="")
     p.add_argument("--synthetic", type=int, default=0, help="use N synthetic samples")
+    p.add_argument("--synthetic-val", type=int, default=0,
+                   help="synthetic validation-set size (0 = same as --synthetic); "
+                        "lets epoch-scale runs keep per-epoch eval cheap")
     p.add_argument("--synthetic-dir", default="/tmp/dspnet_synth")
     p.add_argument("--num-devices", type=int, default=0, help="0 = all")
     p.add_argument("--coordinator", default="",
