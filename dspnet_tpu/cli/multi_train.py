@@ -36,7 +36,8 @@ def parse_args(argv=None):
     p.add_argument("--lr-factor", type=float, default=0.5)
     p.add_argument("--begin-epoch", type=int, default=0)
     p.add_argument("--end-epoch", type=int, default=2000)
-    p.add_argument("--resume", type=int, default=-1, help="resume from epoch N (-1 off)")
+    p.add_argument("--resume", type=int, default=-1,
+                   help="resume from epoch N (0 = latest checkpoint, -1 off)")
     p.add_argument("--freeze", default="", help="regex of params to freeze")
     p.add_argument("--model-dir", default="model")
     p.add_argument("--dataset-root", default="")

@@ -148,10 +148,12 @@ def load_rec_index(rec_path: str, lst_path: Optional[str] = None,
     the reference keeps next to the .rec) recovers image path strings and
     the seg-mask lookup keyed by record id (dataset/iterator.py:386-394).
     Multipart records (payload not contiguous on disk — JPEG bytes that
-    happened to contain kMagic) are materialized through a per-process
-    temp file so every sample stays span-backed; the dataset mount may be
-    read-only and other processes may be reading the same .rec, so the
-    temp file never lives next to the source.
+    happened to contain kMagic) are materialized through a fresh temp file
+    (unique per call: two .rec files sharing a basename must not collide)
+    so every sample stays span-backed; the dataset mount may be read-only
+    and other processes may be reading the same .rec, so the temp file
+    never lives next to the source. It stays for the process lifetime —
+    the returned index's spans point into it.
     """
     key_to_path = {}
     if lst_path:
@@ -164,9 +166,7 @@ def load_rec_index(rec_path: str, lst_path: Optional[str] = None,
     from dspnet_tpu.data import imdb
 
     samples = []
-    side_path = os.path.join(
-        tempfile.gettempdir(),
-        "%s.joined.%d" % (os.path.basename(rec_path), os.getpid()))
+    side_path = None
     side = None
     for start, length, payload in read_records(rec_path):
         rid, vec, img_off, img = unpack_payload(payload)
@@ -182,7 +182,9 @@ def load_rec_index(rec_path: str, lst_path: Optional[str] = None,
             # multipart: payload is not contiguous in the .rec — append the
             # joined image bytes to a sidecar once and span into that
             if side is None:
-                side = open(side_path, "wb")
+                fd, side_path = tempfile.mkstemp(
+                    prefix=os.path.basename(rec_path) + ".joined.")
+                side = os.fdopen(fd, "wb")
             span = (side_path, side.tell(), len(img))
             side.write(img)
         samples.append(Sample(
@@ -197,10 +199,11 @@ def load_rec_index(rec_path: str, lst_path: Optional[str] = None,
 
 
 def convert_rec(rec_path: str, out_prefix: str, lst_path: Optional[str] = None,
-                root: str = "", quiet: bool = False) -> str:
+                root: str = "", quiet: bool = False,
+                find_seg: bool = True) -> str:
     """One-way ``.rec`` -> ``.drec`` migration (image bytes copied verbatim,
     labels re-framed, seg masks pulled in from the lst lookup when found)."""
     from dspnet_tpu.data.record import pack_records
 
-    index = load_rec_index(rec_path, lst_path, root=root)
+    index = load_rec_index(rec_path, lst_path, root=root, find_seg=find_seg)
     return pack_records(index, out_prefix, quiet=quiet)

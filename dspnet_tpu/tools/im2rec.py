@@ -27,7 +27,7 @@ def main(argv=None):
                    "--lst recovers paths + seg masks")
     p.add_argument("--root", default="", help="root joined to relative .lst paths")
     p.add_argument("--no-seg", action="store_true",
-                   help="skip the seg-mask lookup for .lst inputs")
+                   help="skip the seg-mask lookup (.lst and --from-rec inputs)")
     p.add_argument("--dataset-root", help="dataset directory (auto-detected layout)")
     p.add_argument("--split", default="train")
     p.add_argument("--out", required=True, help="output prefix (writes .drec + .idx)")
@@ -39,7 +39,7 @@ def main(argv=None):
         from dspnet_tpu.data import rec_import
 
         rec_import.convert_rec(args.from_rec, args.out, lst_path=args.lst,
-                               root=args.root)
+                               root=args.root, find_seg=not args.no_seg)
         return
     if args.lst:
         index = imdb.load_imglist(args.lst, args.root, find_seg=not args.no_seg)

@@ -65,6 +65,11 @@ def main(argv=None):
     params = state.params
     batch_stats = state.batch_stats
     for top, sub in mapped_params.items():
+        if top not in params:
+            # e.g. a multitask checkpoint's seg head imported into a
+            # det-task network: keep the backbone/det subset, drop the rest
+            print(f"skipping '{top}' subtree: target network has no such params")
+            continue
         params = merge_param_subtree(params, {top: sub}, subtree=top)
     if batch_stats:
         batch_stats = dict(batch_stats)

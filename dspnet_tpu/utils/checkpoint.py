@@ -73,28 +73,31 @@ class CheckpointManagerWrapper:
         if epoch is None:
             epoch = self.mgr.latest_step()
         assert epoch is not None, f"no checkpoints under {self.prefix}"
-        # restore every leaf onto local device 0, then as host numpy: a
-        # template-free jax.Array restore replays the SAVED device topology,
-        # which fails for checkpoints written by a different mesh/process
-        # count (e.g. reading a pod-DP checkpoint on one host for transfer/
-        # eval); an explicit single-device sharding is topology-independent
-        # and the merge/transfer consumers re-place leaves anyway
+        # restore every leaf directly as host numpy (concrete np template):
+        # a template-free jax.Array restore replays the SAVED device
+        # topology, which fails for checkpoints written by a different
+        # mesh/process count (e.g. reading a pod-DP checkpoint on one host
+        # for transfer/eval), and restoring onto a REMOTE device then
+        # fetching back pays serial per-leaf round-trips (~110 s for a
+        # 247 MiB state over the axon tunnel; measured 157 s via the old
+        # SingleDeviceSharding path vs 10 s as numpy). A sharding-less
+        # ShapeDtypeStruct does NOT work: orbax then replays the sharding
+        # recorded in the checkpoint file. The merge/transfer consumers
+        # re-place leaves on device themselves
         import jax
         import numpy as _np
 
-        one = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
         meta = self.mgr.item_metadata(epoch)
         meta = getattr(meta, "tree", meta)  # TreeMetadata wrapper -> plain tree
 
-        def as_abstract(m):
+        def as_numpy_template(m):
             if getattr(m, "dtype", None) is None:  # scalar / non-array leaf
                 return ocp.RestoreArgs()
-            return jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=one)
+            return _np.zeros(m.shape, m.dtype)
 
-        template = jax.tree.map(as_abstract, meta)
-        restored = self.mgr.restore(
-            epoch, args=ocp.args.StandardRestore(template))
-        return jax.tree.map(_np.asarray, restored), epoch
+        template = jax.tree.map(as_numpy_template, meta)
+        return self.mgr.restore(
+            epoch, args=ocp.args.StandardRestore(template)), epoch
 
     def latest_epoch(self) -> Optional[int]:
         return self.mgr.latest_step()
