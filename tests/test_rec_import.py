@@ -136,3 +136,9 @@ def test_convert_rec_to_drec_and_train_serve(tmp_path, rng):
     assert batch["images"].shape == (2, 32, 64, 3)
     assert "seg_label" in batch
     assert fnames[0].endswith("s0_leftImg8bit.jpg")
+
+    # --no-seg must skip the seg-mask lookup on the migration path too
+    im2rec.main(["--from-rec", rec, "--lst", lst, "--no-seg",
+                 "--out", str(tmp_path / "out" / "noseg")])
+    noseg = load_record_index(str(tmp_path / "out" / "noseg"))
+    assert all(s.seg_span is None for s in noseg)
