@@ -16,6 +16,18 @@ Reference capability map: see SURVEY.md at the repo root.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# The remote-TPU (axon tunnel) client journals every host->device buffer so
+# it can replay the session if the connection drops; on a training run that
+# retains every input batch on the host (~25 MB/step uint8 at 512x1024 b16,
+# measured) until the kernel OOM-kills the process after a few hundred
+# epochs. Journal compaction bounds host memory (~1 MB/step residual); the
+# trade is that a dropped tunnel ends the run instead of replaying — which
+# per-epoch checkpoints + --resume already cover. Must be set before the
+# backend initializes; harmless on other platforms.
+_os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
+
 from dspnet_tpu.ops import anchors, boxes  # noqa: F401
 
 # lazy top-level API (avoids importing flax/cv2 for ops-only users)

@@ -188,10 +188,15 @@ def main(argv=None):
     prefix = checkpoint_prefix(args.model_dir, args.network, H)
     ckpt = CheckpointManagerWrapper(prefix)
     begin = args.begin_epoch
-    if args.resume >= 0:
+    if args.resume > 0 or (args.resume == 0 and ckpt.latest_epoch() is not None):
         state, epoch = ckpt.restore(args.resume if args.resume > 0 else None, state)
         begin = epoch + 1
         log.info("resumed from epoch %d", epoch)
+    elif args.resume == 0:
+        # --resume 0 on an empty model dir starts fresh — lets an
+        # auto-restarting driver (scripts/run_resumable.sh) pass the same
+        # flags for the first run and every retry
+        log.info("no checkpoint under %s yet; starting fresh", prefix)
 
     last_epoch = args.end_epoch - begin - 1
 
