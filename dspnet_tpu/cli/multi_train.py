@@ -93,6 +93,10 @@ def parse_args(argv=None):
                    help="seg score conv at native stream resolutions "
                         "(FCN-style score-then-upsample) — faster, different "
                         "numerics; use the same flag at eval/demo time")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="accumulate gradients over N batches before each "
+                        "optimizer update (effective batch = batch-size*N at "
+                        "one batch's activation memory)")
     p.add_argument("--remat", action="store_true",
                    help="per-unit rematerialization (jax.checkpoint) — trades "
                         "FLOPs for HBM; faster when activations spill "
@@ -165,7 +169,8 @@ def main(argv=None):
                  " (spatial width partitioning)" if spatial else "")
 
     base_lr, schedule = lr_scheduler_from_epochs(
-        args.lr, args.lr_steps, args.lr_factor, len(train_index), args.batch_size,
+        args.lr, args.lr_steps, args.lr_factor, len(train_index),
+        args.batch_size * args.grad_accum,  # optimizer steps per epoch
         args.begin_epoch,
     )
     solver = MultiTaskSolver(
@@ -181,6 +186,7 @@ def main(argv=None):
         compute_dtype=args.compute_dtype,
         target_backend=args.target_backend,
         spatial=spatial,
+        grad_accum=args.grad_accum,
     )
     sample = jnp.zeros((args.batch_size, H, W, 3), jnp.float32)
     state = solver.init_state(jax.random.PRNGKey(233), sample)

@@ -84,6 +84,7 @@ class MultiTaskSolver:
         compute_dtype: str = "float32",
         spatial: bool = False,
         target_backend: str = "auto",
+        grad_accum: int = 1,
     ):
         self.model = model
         self.anchors = jnp.asarray(anchors, jnp.float32)
@@ -97,11 +98,22 @@ class MultiTaskSolver:
         self.negative_mining_thresh = negative_mining_thresh
         self.compute_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.target_backend = target_backend  # 'auto' | 'xla' | 'pallas' matcher
+        # gradient accumulation: k microbatches of `batch_size` are summed on
+        # device before ONE optimizer update — an effective global batch of
+        # batch_size*k at the HBM footprint of one microbatch (losses are
+        # per-microbatch normalized, like any BN-style accumulation). The
+        # MXNet rescale_grad convention extends to the effective batch.
+        self.grad_accum = int(grad_accum)
+        assert self.grad_accum >= 1
         self.tx = mxnet_sgd(
-            learning_rate, momentum, weight_decay, rescale_grad=1.0 / batch_size
+            learning_rate, momentum, weight_decay,
+            rescale_grad=1.0 / (batch_size * self.grad_accum),
         )
         self._train_step = None
         self._eval_step = None
+        self._micro_step = None
+        self._apply_step = None
+        self._zero_grads = None
 
     # ---------------------------------------------------------------- init
 
@@ -180,36 +192,38 @@ class MultiTaskSolver:
         )
         return total, (metrics, new_stats)
 
-    def _build_train_step(self):
-        tx = self.tx
-        freeze_pattern = self.freeze_pattern
+    def _apply_updates(self, state: TrainState, grads, new_stats):
+        """tx update + freeze masking + param apply (shared by the fused
+        step and the gradient-accumulation apply)."""
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        if self.freeze_pattern:
+            mask = freeze_mask(state.params, self.freeze_pattern)
+            updates = jax.tree.map(
+                lambda u, m: u if m else jnp.zeros_like(u), updates, mask
+            )
+            # also keep frozen params' momentum at zero — otherwise it
+            # silently integrates grad + weight decay and applies a
+            # spurious jump if the pattern is later removed on resume
+            # (reference fixed_param_names never enters the updater)
+            new_opt = new_opt._replace(momentum=jax.tree.map(
+                lambda mo, m: mo if m else jnp.zeros_like(mo),
+                new_opt.momentum, mask))
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        return state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats if new_stats else state.batch_stats,
+            opt_state=new_opt,
+        )
 
+    def _build_train_step(self):
         def step(state: TrainState, batch: Dict):
             grad_fn = jax.value_and_grad(
                 lambda p: self._loss_fn(p, state.batch_stats, batch, train=True),
                 has_aux=True,
             )
             (_, (metrics, new_stats)), grads = grad_fn(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            if freeze_pattern:
-                mask = freeze_mask(state.params, freeze_pattern)
-                updates = jax.tree.map(
-                    lambda u, m: u if m else jnp.zeros_like(u), updates, mask
-                )
-                # also keep frozen params' momentum at zero — otherwise it
-                # silently integrates grad + weight decay and applies a
-                # spurious jump if the pattern is later removed on resume
-                # (reference fixed_param_names never enters the updater)
-                new_opt = new_opt._replace(momentum=jax.tree.map(
-                    lambda mo, m: mo if m else jnp.zeros_like(mo),
-                    new_opt.momentum, mask))
-            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-            new_state = state.replace(
-                step=state.step + 1,
-                params=new_params,
-                batch_stats=new_stats if new_stats else state.batch_stats,
-                opt_state=new_opt,
-            )
+            new_state = self._apply_updates(state, grads, new_stats)
             return new_state, metrics
 
         if self.mesh is not None:
@@ -254,9 +268,71 @@ class MultiTaskSolver:
 
         return jax.jit(step)
 
+    def _build_accum_steps(self):
+        """Gradient-accumulation programs: a microbatch step adds grads into
+        a device accumulator (BN stats update per microbatch, standard
+        accumulation semantics), then one apply step consumes the
+        accumulator for a single optimizer update. Effective global batch =
+        batch_size * grad_accum at one microbatch's activation footprint."""
+
+        def micro(state: TrainState, acc, batch: Dict):
+            grad_fn = jax.value_and_grad(
+                lambda p: self._loss_fn(p, state.batch_stats, batch, train=True),
+                has_aux=True,
+            )
+            (_, (metrics, new_stats)), grads = grad_fn(state.params)
+            acc = jax.tree.map(jnp.add, acc, grads)
+            if new_stats:
+                state = state.replace(batch_stats=new_stats)
+            return state, acc, metrics
+
+        def apply(state: TrainState, acc):
+            return self._apply_updates(state, acc, None)
+
+        def zeros(params):
+            return jax.tree.map(jnp.zeros_like, params)
+
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            dat = NamedSharding(self.mesh, P("data"))
+            apply_j = jax.jit(apply, in_shardings=(rep, rep),
+                              out_shardings=rep, donate_argnums=(0, 1))
+            zeros_j = jax.jit(zeros, out_shardings=rep)
+            if self.spatial:
+                from dspnet_tpu.parallel.mesh import batch_shardings_for
+
+                cache: Dict[frozenset, Any] = {}
+
+                def micro_j(state, acc, batch):
+                    key = frozenset(batch)
+                    if key not in cache:
+                        cache[key] = jax.jit(
+                            micro,
+                            in_shardings=(rep, rep, batch_shardings_for(
+                                self.mesh, batch, spatial=True)),
+                            out_shardings=(rep, rep, rep),
+                            donate_argnums=(0, 1),
+                        )
+                    return cache[key](state, acc, batch)
+            else:
+                micro_j = jax.jit(
+                    micro,
+                    in_shardings=(rep, rep, dat),
+                    out_shardings=(rep, rep, rep),
+                    donate_argnums=(0, 1),
+                )
+            return micro_j, apply_j, zeros_j
+        return (
+            jax.jit(micro, donate_argnums=(0, 1)),
+            jax.jit(apply, donate_argnums=(0, 1)),
+            jax.jit(zeros),
+        )
+
     # ---------------------------------------------------------------- API
 
     def train_step(self, state: TrainState, batch: Dict):
+        assert self.grad_accum == 1, \
+            "grad_accum > 1 trains through fit() (microbatch accumulation)"
         if self._train_step is None:
             self._train_step = self._build_train_step()
         return self._train_step(state, batch)
@@ -316,13 +392,27 @@ class MultiTaskSolver:
             # local batches under multi-process DP (mesh.distributed_init)
             sharding = partial(shard_batch, self.mesh, spatial=self.spatial)
 
+        accum = self.grad_accum
+        if accum > 1 and self._micro_step is None:
+            self._micro_step, self._apply_step, self._zero_grads = \
+                self._build_accum_steps()
+
         for epoch in range(num_epochs):
             ep = epoch + epoch_offset  # absolute epoch for log lines
             agg: Dict[str, Any] = {}
             counts: Dict[str, int] = {}  # seg keys appear only on seg batches
             n = 0
+            acc = None
             for batch in prefetch_to_device(train_iter, size=2, sharding=sharding):
-                state, metrics = self.train_step(state, batch)
+                if accum == 1:
+                    state, metrics = self.train_step(state, batch)
+                else:
+                    if acc is None:
+                        acc = self._zero_grads(state.params)
+                    state, acc, metrics = self._micro_step(state, acc, batch)
+                    if (n + 1) % accum == 0:
+                        state = self._apply_step(state, acc)
+                        acc = None
                 n += 1
                 # accumulate ON DEVICE — float() here would sync the host
                 # every step and serialize dispatch with device compute
@@ -336,6 +426,12 @@ class MultiTaskSolver:
                     # reference batch_end_callback slot (multi_solver.py:
                     # 341-345) — e.g. StatMonitor (mx.mon.Monitor analog)
                     batch_end_callback(state, n)
+            if acc is not None:
+                # epoch ended mid-accumulation: apply what we have (a
+                # smaller-than-nominal effective batch for the last update,
+                # like a short tail batch)
+                state = self._apply_step(state, acc)
+                acc = None
             if n:
                 log_fn(f"epoch {ep} done: " + ", ".join(
                     f"{k}={float(v) / counts[k]:.4f}" for k, v in agg.items()))
