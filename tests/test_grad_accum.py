@@ -81,3 +81,16 @@ def test_train_step_guard(bundle):
     s, st = _solver(bundle, batch_size=2, grad_accum=2)
     with pytest.raises(AssertionError):
         s.train_step(st, _batch(np.random.RandomState(0)))
+
+
+def test_accum_on_mesh(bundle):
+    """Accumulation composes with data-parallel mesh sharding (the
+    replicated-state/sharded-batch jit path)."""
+    from dspnet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(11)
+    mesh = make_mesh(n_data=2, n_model=1)
+    s, st = _solver(bundle, batch_size=2, grad_accum=2, mesh=mesh)
+    st = s.fit(st, [_batch(rng), _batch(rng)], num_epochs=1, eval_every=0,
+               log_fn=lambda *_: None)
+    assert int(st.step) == 1
