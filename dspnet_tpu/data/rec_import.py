@@ -182,9 +182,16 @@ def load_rec_index(rec_path: str, lst_path: Optional[str] = None,
             # multipart: payload is not contiguous in the .rec — append the
             # joined image bytes to a sidecar once and span into that
             if side is None:
+                import atexit
+
                 fd, side_path = tempfile.mkstemp(
                     prefix=os.path.basename(rec_path) + ".joined.")
                 side = os.fdopen(fd, "wb")
+                # spans point into the sidecar for the index's lifetime;
+                # reclaim it at interpreter exit so repeated loads can't
+                # fill the tempdir
+                atexit.register(
+                    lambda p=side_path: os.path.exists(p) and os.unlink(p))
             span = (side_path, side.tell(), len(img))
             side.write(img)
         samples.append(Sample(

@@ -36,7 +36,10 @@ def lr_scheduler_from_epochs(
     if lr_refactor_ratio >= 1:
         return learning_rate, multifactor_schedule(learning_rate, (), 1.0)
     lr = learning_rate
-    epoch_size = num_example // batch_size
+    # >= 1: an (effective) batch larger than the dataset otherwise floors
+    # this to 0, collapsing every refactor boundary onto iteration 0 and
+    # silently starting at the fully-decayed lr
+    epoch_size = max(1, num_example // batch_size)
     for s in iter_refactor:
         if begin_epoch >= s:
             lr *= lr_refactor_ratio

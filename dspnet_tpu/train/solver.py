@@ -216,6 +216,41 @@ class MultiTaskSolver:
             opt_state=new_opt,
         )
 
+    def _jit_with_batch(self, fn, n_carry: int):
+        """jit ``fn(*carry, batch)``: carry args replicated and donated,
+        batch sharded on axis 0 over the mesh's 'data' axis (spatial mode
+        additionally width-shards image-like leaves — the batch key set
+        decides the sharding tree, so memoize one jitted wrapper per key
+        set; a fresh jax.jit per call would retrace the whole train graph
+        every step). Outputs are replicated."""
+        donate = tuple(range(n_carry))
+        if self.mesh is None:
+            return jax.jit(fn, donate_argnums=donate)
+        rep = NamedSharding(self.mesh, P())
+        if not self.spatial:
+            # pytree-prefix shardings: carry replicated, batch on axis 0
+            dat = NamedSharding(self.mesh, P("data"))
+            return jax.jit(fn, in_shardings=(*(rep,) * n_carry, dat),
+                           out_shardings=rep, donate_argnums=donate)
+        from dspnet_tpu.parallel.mesh import batch_shardings_for
+
+        cache: Dict[frozenset, Any] = {}
+
+        def jitted(*args):
+            batch = args[-1]
+            key = frozenset(batch)
+            if key not in cache:
+                cache[key] = jax.jit(
+                    fn,
+                    in_shardings=(*(rep,) * n_carry, batch_shardings_for(
+                        self.mesh, batch, spatial=True)),
+                    out_shardings=rep,
+                    donate_argnums=donate,
+                )
+            return cache[key](*args)
+
+        return jitted
+
     def _build_train_step(self):
         def step(state: TrainState, batch: Dict):
             grad_fn = jax.value_and_grad(
@@ -226,40 +261,7 @@ class MultiTaskSolver:
             new_state = self._apply_updates(state, grads, new_stats)
             return new_state, metrics
 
-        if self.mesh is not None:
-            rep = NamedSharding(self.mesh, P())
-            dat = NamedSharding(self.mesh, P("data"))
-            if self.spatial:
-                from dspnet_tpu.parallel.mesh import batch_shardings_for
-
-                # the batch key set decides the sharding tree, so memoize one
-                # jitted wrapper per key set — a fresh jax.jit per call would
-                # retrace the whole train graph every step
-                cache: Dict[frozenset, Any] = {}
-
-                def jitted(state, batch):
-                    key = frozenset(batch)
-                    if key not in cache:
-                        cache[key] = jax.jit(
-                            step,
-                            in_shardings=(
-                                rep,
-                                batch_shardings_for(self.mesh, batch, spatial=True),
-                            ),
-                            out_shardings=(rep, rep),
-                            donate_argnums=(0,),
-                        )
-                    return cache[key](state, batch)
-
-                return jitted
-            # pytree-prefix shardings: state replicated, batch sharded on axis 0
-            return jax.jit(
-                step,
-                in_shardings=(rep, dat),
-                out_shardings=(rep, rep),
-                donate_argnums=(0,),
-            )
-        return jax.jit(step, donate_argnums=(0,))
+        return self._jit_with_batch(step, n_carry=1)
 
     def _build_eval_step(self):
         def step(state: TrainState, batch: Dict):
@@ -292,41 +294,16 @@ class MultiTaskSolver:
         def zeros(params):
             return jax.tree.map(jnp.zeros_like, params)
 
+        micro_j = self._jit_with_batch(micro, n_carry=2)
         if self.mesh is not None:
             rep = NamedSharding(self.mesh, P())
-            dat = NamedSharding(self.mesh, P("data"))
             apply_j = jax.jit(apply, in_shardings=(rep, rep),
                               out_shardings=rep, donate_argnums=(0, 1))
             zeros_j = jax.jit(zeros, out_shardings=rep)
-            if self.spatial:
-                from dspnet_tpu.parallel.mesh import batch_shardings_for
-
-                cache: Dict[frozenset, Any] = {}
-
-                def micro_j(state, acc, batch):
-                    key = frozenset(batch)
-                    if key not in cache:
-                        cache[key] = jax.jit(
-                            micro,
-                            in_shardings=(rep, rep, batch_shardings_for(
-                                self.mesh, batch, spatial=True)),
-                            out_shardings=(rep, rep, rep),
-                            donate_argnums=(0, 1),
-                        )
-                    return cache[key](state, acc, batch)
-            else:
-                micro_j = jax.jit(
-                    micro,
-                    in_shardings=(rep, rep, dat),
-                    out_shardings=(rep, rep, rep),
-                    donate_argnums=(0, 1),
-                )
-            return micro_j, apply_j, zeros_j
-        return (
-            jax.jit(micro, donate_argnums=(0, 1)),
-            jax.jit(apply, donate_argnums=(0, 1)),
-            jax.jit(zeros),
-        )
+        else:
+            apply_j = jax.jit(apply, donate_argnums=(0, 1))
+            zeros_j = jax.jit(zeros)
+        return micro_j, apply_j, zeros_j
 
     # ---------------------------------------------------------------- API
 
@@ -396,13 +373,18 @@ class MultiTaskSolver:
         if accum > 1 and self._micro_step is None:
             self._micro_step, self._apply_step, self._zero_grads = \
                 self._build_accum_steps()
+        # the accumulator carries ACROSS epoch boundaries (chunks are counted
+        # in microbatches, not per-epoch) — resetting each epoch would make
+        # every epoch whose batch count is not a multiple of grad_accum apply
+        # an under-scaled tail update (rescale assumes k summed grads)
+        acc = None
+        micro_n = 0
 
         for epoch in range(num_epochs):
             ep = epoch + epoch_offset  # absolute epoch for log lines
             agg: Dict[str, Any] = {}
             counts: Dict[str, int] = {}  # seg keys appear only on seg batches
             n = 0
-            acc = None
             for batch in prefetch_to_device(train_iter, size=2, sharding=sharding):
                 if accum == 1:
                     state, metrics = self.train_step(state, batch)
@@ -410,7 +392,8 @@ class MultiTaskSolver:
                     if acc is None:
                         acc = self._zero_grads(state.params)
                     state, acc, metrics = self._micro_step(state, acc, batch)
-                    if (n + 1) % accum == 0:
+                    micro_n += 1
+                    if micro_n % accum == 0:
                         state = self._apply_step(state, acc)
                         acc = None
                 n += 1
@@ -426,19 +409,13 @@ class MultiTaskSolver:
                     # reference batch_end_callback slot (multi_solver.py:
                     # 341-345) — e.g. StatMonitor (mx.mon.Monitor analog)
                     batch_end_callback(state, n)
-            if acc is not None:
-                # epoch ended mid-accumulation: apply what we have (a
-                # smaller-than-nominal effective batch for the last update,
-                # like a short tail batch)
-                state = self._apply_step(state, acc)
-                acc = None
             if n:
                 log_fn(f"epoch {ep} done: " + ", ".join(
                     f"{k}={float(v) / counts[k]:.4f}" for k, v in agg.items()))
             if epoch_end_callback is not None:
                 epoch_end_callback(epoch, state)
             # per-epoch validation pass (reference multi_solver.py:355-517)
-            if eval_iter is not None and (epoch + 1) % eval_every == 0:
+            if eval_iter is not None and eval_every > 0 and (epoch + 1) % eval_every == 0:
                 from dspnet_tpu.evaluate.loop import evaluate_model
 
                 if not hasattr(self, "_val_detector"):
@@ -451,4 +428,8 @@ class MultiTaskSolver:
                     if isinstance(v, float) and k in ("mAP", "mIoU", "accuracy", "derror")))
             # (MultiTaskIterator reshuffles + resamples aug params in its own
             # __iter__; no explicit reset here or epochs would double-shuffle)
+        if acc is not None:
+            # training ended mid-chunk: apply the partial sum (one final
+            # smaller-than-nominal effective batch — unavoidable at the end)
+            state = self._apply_step(state, acc)
         return state

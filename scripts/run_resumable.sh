@@ -5,14 +5,26 @@
 # an empty model dir) until it exits cleanly; each death costs at most the
 # epochs since the last --checkpoint-every save.
 #
-# Usage: scripts/run_resumable.sh <multi_train args...>   # no --resume
-#   MAX_RETRIES=20 (env) bounds restarts; a retry only counts when the run
-#   dies within BACKOFF_RESET_S (it made no progress), so a run that
-#   trained for hours before dropping restarts with a fresh budget.
+# Usage: scripts/run_resumable.sh <multi_train args...>
+#   Do not pass --resume (the driver owns it; rejected below).
+#   MAX_RETRIES=20 (env) bounds restarts; the budget resets whenever an
+#   attempt SAVED A NEW CHECKPOINT (real progress) — wall-clock survival
+#   alone doesn't count, so a run that deterministically dies before its
+#   first save can't loop from scratch forever.
 set -u
 max=${MAX_RETRIES:-20}
-reset_s=${BACKOFF_RESET_S:-300}
 tries=0
+
+model_dir="model"
+prev=""
+for a in "$@"; do
+  if [ "$prev" = "--model-dir" ]; then model_dir="$a"; fi
+  if [ "$a" = "--resume" ] || [[ "$a" == --resume=* ]]; then
+    echo "run_resumable: do not pass --resume; the driver manages it" >&2
+    exit 2
+  fi
+  prev="$a"
+done
 
 probe() {
   # a fresh process HANGS on backend init while the tunnel is down (it
@@ -27,14 +39,15 @@ while true; do
     echo "run_resumable: device backend unreachable; re-probing in 60s" >&2
     sleep 60
   done
-  start=$(date +%s)
-  python -m dspnet_tpu.cli.multi_train "$@" --resume 0 && exit 0
-  dur=$(( $(date +%s) - start ))
-  if [ "$dur" -ge "$reset_s" ]; then tries=0; else tries=$((tries + 1)); fi
+  stamp=$(mktemp)
+  python -m dspnet_tpu.cli.multi_train "$@" --resume 0 && { rm -f "$stamp"; exit 0; }
+  progressed=$(find "$model_dir" -type f -newer "$stamp" 2>/dev/null | head -1)
+  rm -f "$stamp"
+  if [ -n "$progressed" ]; then tries=0; else tries=$((tries + 1)); fi
   if [ "$tries" -ge "$max" ]; then
-    echo "run_resumable: giving up after $max rapid failures" >&2
+    echo "run_resumable: giving up after $max attempts without a new checkpoint" >&2
     exit 1
   fi
-  echo "run_resumable: train exited nonzero after ${dur}s; retry $tries/$max in 30s" >&2
+  echo "run_resumable: train exited nonzero; retry $tries/$max in 30s" >&2
   sleep 30
 done
