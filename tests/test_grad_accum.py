@@ -94,3 +94,37 @@ def test_accum_on_mesh(bundle):
     st = s.fit(st, [_batch(rng), _batch(rng)], num_epochs=1, eval_every=0,
                log_fn=lambda *_: None)
     assert int(st.step) == 1
+
+
+def test_accum_on_spatial_mesh(bundle):
+    """Accumulation composes with spatial width sharding (the memoized
+    per-key-set jit path of _jit_with_batch)."""
+    from dspnet_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.RandomState(13)
+    mesh = make_mesh(n_data=1, n_model=2)
+    s, st = _solver(bundle, batch_size=2, grad_accum=2, mesh=mesh,
+                    spatial=True)
+    st = s.fit(st, [_batch(rng), _batch(rng)], num_epochs=1, eval_every=0,
+               log_fn=lambda *_: None)
+    assert int(st.step) == 1
+
+
+def test_accum_carries_across_epochs(bundle):
+    """3 microbatches/epoch at accum 2 must NOT under-scale a per-epoch
+    tail: chunks span epoch boundaries, so 2 epochs x 3 batches = 3 full
+    updates and no partial flush."""
+    rng = np.random.RandomState(5)
+    batches = [_batch(rng) for _ in range(3)]
+    s, st = _solver(bundle, batch_size=2, grad_accum=2)
+    st = s.fit(st, batches, num_epochs=2, eval_every=0, log_fn=lambda *_: None)
+    assert int(st.step) == 3
+
+
+def test_eval_every_zero_with_eval_iter(bundle):
+    """eval_iter + eval_every=0 skips eval instead of ZeroDivisionError."""
+    rng = np.random.RandomState(9)
+    s, st = _solver(bundle, batch_size=2)
+    st = s.fit(st, [_batch(rng)], num_epochs=1, eval_iter=[], eval_every=0,
+               data_shape=HW, log_fn=lambda *_: None)
+    assert int(st.step) == 1
