@@ -19,8 +19,50 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
+
+
+def wait_for_backend(deadline_s: float = 600.0, probe_timeout_s: float = 90.0) -> bool:
+    """Poll backend availability in a SUBPROCESS with retry/backoff.
+
+    The axon tunnel fails in two ways a naive ``jax.devices()`` call can't
+    survive: it HANGS silently (2026-08-17 outage: >10 min, no error), or it
+    raises ``UNAVAILABLE`` at init — and a backend that failed to init once
+    is sticky for the process lifetime. Probing in a fresh subprocess with a
+    bounded timeout makes each attempt independent, so a transient flap at
+    capture time costs a retry, not the round's whole bench artifact
+    (BENCH_r02.json was an rc=1 traceback for exactly this reason).
+
+    Returns True once a probe sees devices; False when ``deadline_s`` (env
+    ``BENCH_PROBE_DEADLINE_S``) expires. CPU runs pass on the first probe.
+    """
+    deadline_s = float(os.environ.get("BENCH_PROBE_DEADLINE_S", deadline_s))
+    t0 = time.monotonic()
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        elapsed = time.monotonic() - t0
+        if elapsed >= deadline_s:
+            return False
+        wait = min(30.0, 5.0 * attempt, deadline_s - elapsed)
+        print(f"bench: backend unreachable (attempt {attempt}, "
+              f"{elapsed:.0f}s elapsed); retrying in {wait:.0f}s",
+              file=sys.stderr)
+        time.sleep(wait)
 
 
 def bench_train():
@@ -83,14 +125,20 @@ def bench_train():
 
 
 def main():
+    if not wait_for_backend():
+        # one structured line the driver can record, not a traceback
+        print(json.dumps({"error": "tpu_unavailable",
+                          "metric": "multitask_inference_throughput_512x512",
+                          "value": None, "unit": "images/sec/chip",
+                          "vs_baseline": None}))
+        return
+
     import jax
     import jax.numpy as jnp
 
     from dspnet_tpu.api import create_model
     from dspnet_tpu.ops.detection import multibox_detection
     from dspnet_tpu.utils.precision import bf16_variables
-
-    import os
 
     if os.environ.get("BENCH_TRAIN"):
         return bench_train()

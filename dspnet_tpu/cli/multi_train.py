@@ -96,7 +96,10 @@ def parse_args(argv=None):
     p.add_argument("--grad-accum", type=int, default=1,
                    help="accumulate gradients over N batches before each "
                         "optimizer update (effective batch = batch-size*N at "
-                        "one batch's activation memory)")
+                        "one batch's activation memory); chunks span epoch "
+                        "boundaries and the pending accumulator is not "
+                        "checkpointed, so a crash+resume drops at most one "
+                        "partial chunk (<N microbatches) of gradient")
     p.add_argument("--remat", action="store_true",
                    help="per-unit rematerialization (jax.checkpoint) — trades "
                         "FLOPs for HBM; faster when activations spill "

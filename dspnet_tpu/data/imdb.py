@@ -211,14 +211,14 @@ class PascalVoc(Imdb):
                     if not 0 <= cid < len(self.classes):
                         continue
                     cls = self.classes[cid]
-                    # float pixel coords + 1, sub-pixel precision kept like
-                    # the reference devkit files (pascal_voc.py:231 writes
-                    # {:.1f} of the float product)
+                    # 1-based integer pixel coords: the reference truncates
+                    # with int() before the +1 (pascal_voc.py:235-236), so
+                    # devkit result files match it bit-for-bit
                     files[cls].write(
                         "{:s} {:.3f} {:.1f} {:.1f} {:.1f} {:.1f}\n".format(
                             iid, row[1],
-                            row[2] * w + 1, row[3] * h + 1,
-                            row[4] * w + 1, row[5] * h + 1))
+                            int(row[2] * w) + 1, int(row[3] * h) + 1,
+                            int(row[4] * w) + 1, int(row[5] * h) + 1))
         finally:
             for f in files.values():
                 f.close()

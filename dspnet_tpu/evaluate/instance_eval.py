@@ -1,23 +1,40 @@
-"""Instance-level segmentation evaluation (Cityscapes-style AP).
+"""Instance-level segmentation evaluation (official Cityscapes AP).
 
-Capability counterpart of the reference's vendored official scripts
-(data/cityscapes/Scripts/evaluation/evalInstanceLevelSemanticLabeling.py,
-instances2dict.py, instance.py) — never invoked by the reference's own code,
-shipped for offline use. This implementation provides:
+Re-implements the scoring of the reference's vendored official script
+(data/cityscapes/Scripts/evaluation/evalInstanceLevelSemanticLabeling.py)
+with its EXACT semantics — not a VOC-style approximation.  Per that script:
 
-* :func:`match_instances` — greedy confidence-ordered matching of predicted
-  instance masks to GT instances at an IoU threshold, with the official
-  overlap definition (intersection / union of pixel masks);
-* :func:`average_precision` — the official AP curve (precision envelope over
-  the recall axis);
-* :func:`evaluate_instances` — AP per class averaged over the official
-  overlap thresholds 0.5:0.05:0.95 plus AP50, over a dataset of images;
-* :func:`boxes_and_seg_to_instances` — glue that derives instance masks from
-  DSPNet's outputs (detection box ∩ matching seg-class pixels), so the
-  multitask model can be scored end-to-end.
+* GT instances come from an ``instanceIds`` image: every pixel value is an
+  instance; values >= 1000 encode ``labelId*1000 + index`` (real instances),
+  values < 1000 are the bare labelId (group regions, e.g. a "car" crowd)
+  (instance.py:22-26, instances2dict.py:36-39).
+* Matching intersects every prediction with every same-label GT region,
+  group or not (evalInstanceLevelSemanticLabeling.py:327-343).  A GT
+  counts toward AP only when ``instID >= 1000`` and ``pixelCount >=
+  minRegionSize`` (:412); matching requires overlap STRICTLY > the
+  threshold (:428).  When several predictions clear the threshold on one
+  GT, the highest confidence wins and the rest become false positives
+  (:434-446); a GT with intersecting-but-under-threshold predictions is a
+  "hard" false negative (:448-449).
+* An unmatched prediction is IGNORED (not a false positive) when the
+  proportion of its pixels lying on void labels, group regions, or
+  filtered-small GT instances exceeds the overlap threshold (:463-476).
+* The AP curve is the official step-wise integration over unique score
+  thresholds with an artificial (r=0, p=1) point — a convolution
+  [-0.5, 0, 0.5] over recall gives step widths, AP = precision . widths
+  (:486-539) — NOT the VOC precision envelope.
+* Averages: per-class AP = mean over overlaps 0.5:0.05:0.95; AP50 = the
+  0.5 column; dataset AP = nanmean over classes (:549-575).  A class with
+  GT but no predictions anywhere scores 0; a class with no GT is NaN and
+  excluded from the mean (:541-544).
 
-GT format: per image, a list of (mask (H, W) bool, class_name) pairs — e.g.
-decoded from Cityscapes ``instanceIds`` images with :func:`decode_instance_png`.
+``tests/test_instance_official.py`` cross-runs this module against the
+vendored official script on identical PNG inputs and demands equal APs.
+
+Streaming: :class:`InstanceEvalAccumulator` folds each image into per
+(class, overlap) score vectors immediately, so whole-dataset mask sets
+never sit in memory (real Cityscapes val would otherwise hold tens of GB
+of full-resolution boolean masks).
 """
 
 from __future__ import annotations
@@ -26,15 +43,26 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
+from dspnet_tpu.data.cs_labels import id2label, labels, name2label
+
 OVERLAPS = np.arange(0.5, 1.0, 0.05)
+# minimum GT region size in pixels (evalInstanceLevelSemanticLabeling.py:131;
+# only the first entry applies when stereo distances are unavailable, :381-385)
+MIN_REGION_SIZE = 100
+
+VOID_IDS = np.array([l.id for l in labels if l.ignoreInEval], np.int64)
+_ID2NAME = {l.id: l.name for l in labels}
 
 
 def decode_instance_png(inst_img: np.ndarray, id2name: Dict[int, str],
                         has_instances: Sequence[str]) -> List[Tuple[np.ndarray, str]]:
-    """Cityscapes instanceIds image -> [(mask, class_name)].
+    """Cityscapes instanceIds image -> [(mask, class_name)] of REAL instances
+    (value >= 1000, encoding labelId*1000 + index; instance.py:22-26).
 
-    Pixels encode labelId * 1000 + instance index for instance classes;
-    plain labelId (< 1000) for stuff."""
+    Convenience for visualization/debugging; the accumulator consumes the
+    raw instanceIds array itself because scoring also needs group regions
+    and the void mask.
+    """
     out = []
     for val in np.unique(inst_img):
         if val < 1000:
@@ -46,110 +74,209 @@ def decode_instance_png(inst_img: np.ndarray, id2name: Dict[int, str],
     return out
 
 
-def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
-    inter = np.logical_and(a, b).sum()
-    if inter == 0:
-        return 0.0
-    union = a.sum() + b.sum() - inter
-    return float(inter) / float(union)
+def official_ap_curve(y_true: np.ndarray, y_score: np.ndarray,
+                      hard_fns: int) -> float:
+    """The official AP integration (evalInstanceLevelSemanticLabeling.py:
+    486-539): step-wise integration over unique ascending score thresholds,
+    with an artificial (recall 0, precision 1) end point."""
+    y_true = np.asarray(y_true, np.float64)
+    y_score = np.asarray(y_score, np.float64)
+    order = np.argsort(y_score)  # ascending
+    y_score = y_score[order]
+    y_true_cum = np.cumsum(y_true[order])
 
-
-def match_instances(preds, gts, iou_thresh: float):
-    """preds: [(mask, class_name, confidence)] one image; gts: [(mask,
-    class_name)]. Returns per-class lists of (confidence, is_tp) + gt counts."""
-    records: Dict[str, List[Tuple[float, bool]]] = {}
-    counts: Dict[str, int] = {}
-    for _, cname in gts:
-        counts[cname] = counts.get(cname, 0) + 1
-    order = sorted(range(len(preds)), key=lambda i: -preds[i][2])
-    gt_used = [False] * len(gts)
-    for i in order:
-        mask, cname, conf = preds[i]
-        best, best_j = 0.0, -1
-        for j, (gmask, gname) in enumerate(gts):
-            if gname != cname or gt_used[j]:
-                continue
-            iou = _mask_iou(mask, gmask)
-            if iou > best:
-                best, best_j = iou, j
-        tp = best >= iou_thresh and best_j >= 0
-        if tp:
-            gt_used[best_j] = True
-        records.setdefault(cname, []).append((conf, tp))
-    return records, counts
-
-
-def average_precision(scored: List[Tuple[float, bool]], num_gt: int) -> float:
-    """AP with precision envelope (matches the official curve computation)."""
-    if num_gt == 0:
-        return float("nan")
-    if not scored:
-        return 0.0
-    scored = sorted(scored, key=lambda t: -t[0])
-    tps = np.cumsum([1.0 if s[1] else 0.0 for s in scored])
-    fps = np.cumsum([0.0 if s[1] else 1.0 for s in scored])
-    recall = tps / num_gt
-    prec = tps / np.maximum(tps + fps, 1)
-    mrec = np.concatenate(([0.0], recall, [1.0]))
-    mpre = np.concatenate(([0.0], prec, [0.0]))
-    for i in range(mpre.size - 1, 0, -1):
-        mpre[i - 1] = max(mpre[i - 1], mpre[i])
-    idx = np.where(mrec[1:] != mrec[:-1])[0]
-    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+    thresholds, unique_idx = np.unique(y_score, return_index=True)
+    n = len(unique_idx) + 1
+    nb_examples = len(y_score)
+    nb_true = y_true_cum[-1] if nb_examples else 0.0
+    precision = np.zeros(n)
+    recall = np.zeros(n)
+    # index -1 must read 0 (the artificial first point, :509-511)
+    y_true_cum = np.append(y_true_cum, 0.0)
+    for res_i, score_i in enumerate(unique_idx):
+        cum = y_true_cum[score_i - 1]
+        tp = nb_true - cum
+        fp = nb_examples - score_i - tp
+        fn = cum + hard_fns
+        precision[res_i] = tp / (tp + fp)
+        recall[res_i] = tp / (tp + fn)
+    precision[-1] = 1.0
+    recall[-1] = 0.0
+    r = np.concatenate(([recall[0]], recall, [0.0]))
+    step_widths = np.convolve(r, [-0.5, 0, 0.5], "valid")
+    return float(np.dot(precision, step_widths))
 
 
 class InstanceEvalAccumulator:
-    """Streaming per-image accumulation: each image's masks are matched at
-    every overlap threshold immediately and then released, so whole-dataset
-    mask sets never sit in memory (real Cityscapes val would otherwise hold
-    tens of GB of full-resolution boolean masks)."""
+    """Streaming official instance-level AP over (preds, instanceIds) images.
 
-    def __init__(self, class_names: Sequence[str]):
-        self.class_names = list(class_names)
-        self._records: Dict[float, Dict[str, List]] = {t: {} for t in OVERLAPS}
-        self._counts: Dict[float, Dict[str, int]] = {t: {} for t in OVERLAPS}
+    ``update(preds, inst_img)``: ``preds`` is ``[(mask (H,W) bool,
+    class_name, confidence)]``; ``inst_img`` the raw GT instanceIds array.
+    """
+
+    def __init__(self, class_names: Sequence[str],
+                 min_region_size: int = MIN_REGION_SIZE):
+        # evaluated labels: hasInstances and not ignoreInEval (:152-156),
+        # restricted to the caller's class set (the det head's 8 classes)
+        self.class_names = [
+            c for c in class_names
+            if c in name2label and name2label[c].hasInstances
+            and not name2label[c].ignoreInEval
+        ]
+        self.min_region_size = min_region_size
+        nt = len(OVERLAPS)
+        self._y_true = {c: [[] for _ in range(nt)] for c in self.class_names}
+        self._y_score = {c: [[] for _ in range(nt)] for c in self.class_names}
+        self._hard_fns = {c: np.zeros(nt, np.int64) for c in self.class_names}
+        self._have_gt = {c: False for c in self.class_names}
+        self._have_pred = {c: False for c in self.class_names}
         self.num_images = 0
 
-    def update(self, preds, gts) -> None:
-        """One image: preds [(mask, class_name, confidence)], gts
-        [(mask, class_name)]."""
+    def update(self, preds, inst_img: np.ndarray) -> None:
         self.num_images += 1
-        for t in OVERLAPS:
-            rec, cnt = match_instances(preds, gts, t)
-            for c, r in rec.items():
-                self._records[t].setdefault(c, []).extend(r)
-            for c, n in cnt.items():
-                self._counts[t][c] = self._counts[t].get(c, 0) + n
+        inst_img = np.asarray(inst_img)
+        void_mask = np.isin(inst_img, VOID_IDS)
+
+        # GT regions per evaluated label — groups (instID < 1000) included,
+        # they matter for the FP-ignore rule (instances2dict.py:36-39)
+        gts: Dict[str, List[dict]] = {c: [] for c in self.class_names}
+        for val in np.unique(inst_img):
+            label_id = int(val) if val < 1000 else int(val) // 1000
+            name = _ID2NAME.get(label_id)
+            if name not in gts:
+                continue
+            mask = inst_img == val
+            gts[name].append({
+                "instID": int(val),
+                "pixelCount": int(mask.sum()),
+                "mask": mask,
+                "matchedPred": [],
+            })
+
+        # prediction instances + their intersections with same-label GT
+        # (evalInstanceLevelSemanticLabeling.py:284-349)
+        pred_insts: Dict[str, List[dict]] = {c: [] for c in self.class_names}
+        for mask, cname, conf in preds:
+            if cname not in pred_insts:
+                continue
+            mask = np.asarray(mask, bool)
+            pix = int(mask.sum())
+            if pix == 0:
+                continue
+            p = {
+                "pixelCount": pix,
+                "confidence": float(conf),
+                "voidIntersection": int(np.logical_and(void_mask, mask).sum()),
+                "matchedGt": [],
+            }
+            for gt in gts[cname]:
+                inter = int(np.logical_and(gt["mask"], mask).sum())
+                if inter > 0:
+                    p["matchedGt"].append({"gt": gt, "intersection": inter})
+                    gt["matchedPred"].append(
+                        {"pred": p, "intersection": inter})
+            pred_insts[cname].append(p)
+
+        for cname in self.class_names:
+            # filter groups and too-small instances from the scored GT set
+            # (:412; medDist/distConf pass trivially without stereo data)
+            scored_gts = [g for g in gts[cname]
+                          if g["instID"] >= 1000
+                          and g["pixelCount"] >= self.min_region_size]
+            if scored_gts:
+                self._have_gt[cname] = True
+            if pred_insts[cname]:
+                self._have_pred[cname] = True
+
+            for ti, t in enumerate(OVERLAPS):
+                cur_true: List[float] = []
+                cur_score: List[float] = []
+                for gt in scored_gts:
+                    found = False
+                    best = -np.inf
+                    for m in gt["matchedPred"]:
+                        p = m["pred"]
+                        ov = m["intersection"] / (
+                            gt["pixelCount"] + p["pixelCount"]
+                            - m["intersection"])
+                        if ov > t:
+                            conf = p["confidence"]
+                            if found:
+                                # second+ match: lower confidence becomes an
+                                # extra false positive (:434-441)
+                                hi, lo = max(best, conf), min(best, conf)
+                                best = hi
+                                cur_true.append(0.0)
+                                cur_score.append(lo)
+                            else:
+                                found = True
+                                best = conf
+                    if found:
+                        cur_true.append(1.0)
+                        cur_score.append(best)
+                    else:
+                        self._hard_fns[cname][ti] += 1
+                for p in pred_insts[cname]:
+                    found_gt = any(
+                        m["intersection"] / (m["gt"]["pixelCount"]
+                                             + p["pixelCount"]
+                                             - m["intersection"]) > t
+                        for m in p["matchedGt"])
+                    if found_gt:
+                        continue
+                    # ignore the FP when it mostly covers void, group, or
+                    # filtered-small GT pixels (:463-476)
+                    n_ignore = p["voidIntersection"]
+                    for m in p["matchedGt"]:
+                        g = m["gt"]
+                        if g["instID"] < 1000:
+                            n_ignore += m["intersection"]
+                        if g["pixelCount"] < self.min_region_size:
+                            n_ignore += m["intersection"]
+                    if n_ignore / p["pixelCount"] <= t:
+                        cur_true.append(0.0)
+                        cur_score.append(p["confidence"])
+                self._y_true[cname][ti].extend(cur_true)
+                self._y_score[cname][ti].extend(cur_score)
+
+    def ap_matrix(self) -> np.ndarray:
+        """(num_classes, num_overlaps) AP matrix (the official
+        ``ap[dInf]`` slice, :395-545)."""
+        mat = np.full((len(self.class_names), len(OVERLAPS)), np.nan)
+        for ci, c in enumerate(self.class_names):
+            for ti in range(len(OVERLAPS)):
+                if self._have_gt[c] and self._have_pred[c]:
+                    mat[ci, ti] = official_ap_curve(
+                        self._y_true[c][ti], self._y_score[c][ti],
+                        int(self._hard_fns[c][ti]))
+                elif self._have_gt[c]:
+                    mat[ci, ti] = 0.0
+        return mat
 
     def get(self) -> Dict[str, float]:
+        mat = self.ap_matrix()
         results: Dict[str, float] = {}
-        aps_all, aps_50 = [], []
-        for c in self.class_names:
-            aps = []
-            for t in OVERLAPS:
-                num_gt = self._counts[t].get(c, 0)
-                if num_gt == 0:
-                    continue
-                aps.append(average_precision(self._records[t].get(c, []), num_gt))
-            if aps:
-                results[c] = float(np.mean(aps))
-                aps_all.append(results[c])
-                t50 = OVERLAPS[0]
-                aps_50.append(average_precision(self._records[t50].get(c, []),
-                                                self._counts[t50].get(c, 0)))
-        results["AP"] = float(np.mean(aps_all)) if aps_all else float("nan")
-        results["AP50"] = float(np.mean(aps_50)) if aps_50 else float("nan")
+        for ci, c in enumerate(self.class_names):
+            results[c] = float(np.mean(mat[ci]))  # nan iff class has no GT
+        import warnings
+
+        with warnings.catch_warnings():
+            # nanmean of an all-NaN dataset (no GT at all) is NaN, silently
+            warnings.simplefilter("ignore", RuntimeWarning)
+            results["AP"] = float(np.nanmean(mat))
+            results["AP50"] = float(np.nanmean(mat[:, 0]))
         return results
 
 
 def evaluate_instances(
-    images: Iterable[Tuple[List, List]], class_names: Sequence[str]
+    images: Iterable[Tuple[List, np.ndarray]], class_names: Sequence[str],
+    min_region_size: int = MIN_REGION_SIZE,
 ) -> Dict[str, float]:
-    """images: iterable of (preds, gts) per image. Returns {class: AP} +
-    'AP' (mean over classes/overlaps) and 'AP50'."""
-    acc = InstanceEvalAccumulator(class_names)
-    for preds, gts in images:
-        acc.update(preds, gts)
+    """images: iterable of (preds, inst_img) per image. Returns {class: AP}
+    + 'AP' (nanmean over classes of the overlap-mean) and 'AP50'."""
+    acc = InstanceEvalAccumulator(class_names, min_region_size)
+    for preds, inst_img in images:
+        acc.update(preds, inst_img)
     return acc.get()
 
 

@@ -58,15 +58,13 @@ def evaluate_model(
 
     inst_acc = None
     if instance_eval:
-        from dspnet_tpu.data.cs_labels import id2label, name2label
+        from dspnet_tpu.data.cs_labels import name2label
         from dspnet_tpu.evaluate.instance_eval import (
             InstanceEvalAccumulator,
             boxes_and_seg_to_instances,
-            decode_instance_png,
         )
 
         inst_acc = InstanceEvalAccumulator(list(class_names))
-        inst_id2name = {lid: lab.name for lid, lab in id2label.items()}
         det_to_trainid = {
             i: name2label[n].trainId for i, n in enumerate(class_names)
             if n in name2label
@@ -113,13 +111,11 @@ def evaluate_model(
                                 if ipath != fnames[b] and os.path.exists(ipath)
                                 else None)
                     if inst_img is not None:
-                        gts = decode_instance_png(
-                            inst_img.astype(np.int64), inst_id2name,
-                            list(class_names))
                         inst_preds = boxes_and_seg_to_instances(
                             rows, inst_seg[b], det_to_trainid,
                             list(class_names), inst_img.shape[:2])
-                        inst_acc.update(inst_preds, gts)
+                        inst_acc.update(inst_preds,
+                                        inst_img.astype(np.int64))
             map_metric.update(labels, preds)
 
         if "seg" in res and "seg_label" in batch:

@@ -262,13 +262,14 @@ def multibox_target(
         variances=variances,
     )
     if bipartite_backend == "auto":
-        # pallas only on TPU backends (the kernel targets Mosaic; TPU may
-        # surface under a bridge platform name, e.g. "axon") — CPU would run
-        # it in interpret mode and GPU can't lower it, so those take the
-        # XLA while-loop path
+        # pallas only on known TPU-ish backends (the kernel targets Mosaic;
+        # TPU may surface under a bridge platform name, e.g. "axon").  Every
+        # other platform — cpu, gpu, cuda, rocm, metal, anything future —
+        # takes the XLA while-loop path: an allowlist, because an unknown
+        # backend that can't lower Mosaic would crash instead of falling back
         bipartite_backend = (
-            "xla" if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
-            else "pallas")
+            "pallas" if jax.default_backend() in ("tpu", "axon")
+            else "xla")
     if bipartite_backend == "pallas":
         from dspnet_tpu.ops import matching_pallas
 

@@ -358,6 +358,17 @@ class MultiTaskSolver:
         ``epoch_offset`` shifts the epoch numbers in log lines (a resumed run
         reports absolute epochs, like the reference's begin_epoch-based loop,
         multi_solver.py:232); callbacks still receive the 0-based loop epoch.
+
+        Checkpoint semantics under ``grad_accum > 1``: chunks are counted in
+        microbatches and carry ACROSS epoch boundaries, and the pending
+        gradient accumulator is NOT part of the checkpointed state.  A
+        checkpoint taken mid-chunk therefore excludes up to ``grad_accum - 1``
+        summed microbatch gradients, and a crash+resume replays that epoch
+        from a fresh chunk phase.  The final partial-chunk apply also lands
+        AFTER the last epoch's checkpoint, so the returned state can differ
+        from the last save by one tail update.  This is at most one optimizer
+        step of drift, the same exposure as the reference's per-epoch
+        checkpointing (multi_solver.py:347-348) losing in-flight batches.
         """
         from dspnet_tpu.data.prefetch import prefetch_to_device
 

@@ -19,6 +19,7 @@ model_dir="model"
 prev=""
 for a in "$@"; do
   if [ "$prev" = "--model-dir" ]; then model_dir="$a"; fi
+  if [[ "$a" == --model-dir=* ]]; then model_dir="${a#--model-dir=}"; fi
   if [ "$a" = "--resume" ] || [[ "$a" == --resume=* ]]; then
     echo "run_resumable: do not pass --resume; the driver manages it" >&2
     exit 2

@@ -1,14 +1,19 @@
-"""Instance-level AP evaluation tests."""
+"""Instance-level AP evaluation unit tests (official-semantics API).
+
+The authoritative check is tests/test_instance_official.py, which cross-runs
+evaluate/instance_eval.py against the vendored official evaluator; these
+cover the individual behaviors and the evaluate/loop.py integration.
+"""
 
 import numpy as np
 import pytest
 
 from dspnet_tpu.evaluate.instance_eval import (
-    average_precision,
+    InstanceEvalAccumulator,
     boxes_and_seg_to_instances,
     decode_instance_png,
     evaluate_instances,
-    match_instances,
+    official_ap_curve,
 )
 
 
@@ -18,36 +23,103 @@ def _mask(h, w, y1, y2, x1, x2):
     return m
 
 
+def _gt(h, w, *rects):
+    """rects: (value, y1, y2, x1, x2) painted over a road background."""
+    img = np.full((h, w), 7, np.int64)
+    for val, y1, y2, x1, x2 in rects:
+        img[y1:y2, x1:x2] = val
+    return img
+
+
 def test_perfect_match_ap_one():
-    gt = [(_mask(20, 20, 2, 10, 2, 10), "car")]
-    pred = [(_mask(20, 20, 2, 10, 2, 10), "car", 0.9)]
+    gt = _gt(40, 40, (26001, 2, 22, 2, 22))  # 400 px car instance
+    pred = [(_mask(40, 40, 2, 22, 2, 22), "car", 0.9)]
     res = evaluate_instances([(pred, gt)], ["car"])
     assert res["car"] == pytest.approx(1.0)
     assert res["AP"] == pytest.approx(1.0)
     assert res["AP50"] == pytest.approx(1.0)
 
 
-def test_partial_overlap_counts_only_at_low_thresholds():
-    gt = [(_mask(20, 20, 0, 10, 0, 10), "car")]
-    # IoU = 64 / (100 + 64 + ... ) -> shift by 2: inter 8x8=64, union 136 -> 0.47
-    pred = [(_mask(20, 20, 2, 12, 2, 12), "car", 0.9)]
-    rec, cnt = match_instances(pred, gt, 0.4)
-    assert rec["car"][0][1] is True or rec["car"][0][1] == True  # noqa: E712
-    rec2, _ = match_instances(pred, gt, 0.5)
-    assert not rec2["car"][0][1]
+def test_overlap_is_strictly_greater():
+    # inter 256, union 2*400-256=544 -> IoU ~0.47: counts only below 0.47
+    gt = _gt(60, 60, (26001, 0, 20, 0, 20))
+    pred = [(_mask(60, 60, 6, 26, 6, 26), "car", 0.9)]
+    acc = InstanceEvalAccumulator(["car"])
+    acc.update(pred, gt)
+    mat = acc.ap_matrix()
+    assert mat[0, 0] == 0.0  # 0.5 threshold: no match -> hard FN + FP
+    gt2 = _gt(60, 60, (26001, 0, 20, 0, 20))
+    pred2 = [(_mask(60, 60, 2, 22, 2, 22), "car", 0.9)]  # IoU ~0.68
+    acc2 = InstanceEvalAccumulator(["car"])
+    acc2.update(pred2, gt2)
+    mat2 = acc2.ap_matrix()
+    assert mat2[0, 0] == pytest.approx(1.0)   # > 0.5 matches
+    assert mat2[0, -1] == 0.0                 # > 0.95 does not
 
 
-def test_duplicate_predictions_are_fp():
-    gt = [(_mask(20, 20, 2, 10, 2, 10), "car")]
+def test_duplicate_predictions_lower_conf_is_fp():
+    gt = _gt(40, 40, (26001, 2, 22, 2, 22))
+    m = _mask(40, 40, 2, 22, 2, 22)
+    pred = [(m, "car", 0.9), (m.copy(), "car", 0.8)]
+    acc = InstanceEvalAccumulator(["car"])
+    acc.update(pred, gt)
+    # higher-confidence one is the TP; the FP at 0.8 sits below it on the
+    # curve, so AP stays 1.0 (official :434-446)
+    assert acc.get()["car"] == pytest.approx(1.0)
+    # one TP + one FP recorded at every overlap
+    assert sorted(acc._y_true["car"][0]) == [0.0, 1.0]
+
+
+def test_small_gt_region_is_ignored():
+    # 36 px < 100 px min region: not scored as GT, and a prediction covering
+    # it is ignored rather than counted FP (official :412, :463-476)
+    gt = _gt(40, 40, (26001, 0, 6, 0, 6))
+    pred = [(_mask(40, 40, 0, 6, 0, 6), "car", 0.9)]
+    acc = InstanceEvalAccumulator(["car"])
+    acc.update(pred, gt)
+    res = acc.get()
+    assert np.isnan(res["car"])  # no scorable GT anywhere -> NaN
+    assert acc._y_true["car"][0] == []  # and no FP recorded
+
+
+def test_group_region_ignores_unmatched_pred():
+    gt = _gt(64, 64, (26, 0, 32, 0, 32),        # car group (bare labelId)
+             (26001, 40, 60, 40, 60))           # one real 400 px car
     pred = [
-        (_mask(20, 20, 2, 10, 2, 10), "car", 0.9),
-        (_mask(20, 20, 2, 10, 2, 10), "car", 0.8),
+        (_mask(64, 64, 0, 30, 0, 30), "car", 0.7),   # covers the group only
+        (_mask(64, 64, 40, 60, 40, 60), "car", 0.9),  # exact on the real car
     ]
-    rec, cnt = match_instances(pred, gt, 0.5)
-    flags = [tp for _, tp in rec["car"]]
-    assert flags.count(True) == 1 and flags.count(False) == 1
-    ap = average_precision(rec["car"], cnt["car"])
-    assert ap == pytest.approx(1.0)  # tp is the higher-confidence one
+    res = evaluate_instances([(pred, gt)], ["car"])
+    assert res["car"] == pytest.approx(1.0)  # group-covering pred not an FP
+
+
+def test_void_pixels_ignore_unmatched_pred():
+    gt = _gt(64, 64, (0, 0, 32, 0, 32),          # unlabeled strip -> void
+             (26001, 40, 60, 40, 60))
+    pred = [
+        (_mask(64, 64, 0, 30, 0, 30), "car", 0.7),   # sits on void
+        (_mask(64, 64, 40, 60, 40, 60), "car", 0.9),
+    ]
+    res = evaluate_instances([(pred, gt)], ["car"])
+    assert res["car"] == pytest.approx(1.0)
+
+
+def test_missed_gt_is_hard_fn():
+    gt = _gt(64, 64, (26001, 0, 20, 0, 20), (26002, 30, 50, 30, 50))
+    pred = [(_mask(64, 64, 30, 50, 30, 50), "car", 0.9)]  # finds only one
+    acc = InstanceEvalAccumulator(["car"])
+    acc.update(pred, gt)
+    assert acc._hard_fns["car"][0] == 1
+    # official curve: 1 TP, recall 0.5, precision 1 -> step AP 0.5
+    assert acc.ap_matrix()[0, 0] == pytest.approx(0.5)
+
+
+def test_official_ap_curve_matches_simple_case():
+    # two TPs at conf .9/.8, one FP at .7, one hard FN (3 GT total):
+    # thresholds .7/.8/.9 -> (p,r): (2/3,2/3), (1,2/3), (1,1/3) + artificial
+    ap = official_ap_curve([1.0, 1.0, 0.0], [0.9, 0.8, 0.7], hard_fns=1)
+    # step integration: sum p*dr with centered steps
+    assert 0.5 < ap < 0.8
 
 
 def test_decode_instance_png():
