@@ -15,37 +15,93 @@ from typing import Tuple
 import cv2
 import numpy as np
 
-from dspnet_tpu.data.cs_labels import DET_CLASSES
+from dspnet_tpu.data.cs_labels import DET_CLASSES, name2label, trainId2label
 from dspnet_tpu.data.iterator import MAX_OBJECTS, Sample, SampleIndex
 
 # disparity -> meters constant used across the reference
 # (train/metric.py:222, data/cityscapes/disparity2distance.py:67)
 DISPARITY_SCALE = 2200.0 * 75.0
 
+# det class index -> seg trainId (person 11 ... bicycle 18)
+_DET_TRAINID = [name2label[n].trainId for n in DET_CLASSES]
+# distinctive BGR per trainId: the official Cityscapes palette (RGB in the
+# label table) reversed — every class has a unique, learnable appearance
+_TRAINID_BGR = {
+    t: tuple(int(c) for c in reversed(trainId2label[t].color))
+    for t in range(19)
+}
+
 
 def make_example(
     rng: np.random.RandomState, hw: Tuple[int, int], num_objects: int, num_classes: int = 8
 ):
     """Returns (img BGR uint8, label rows (n, 6) normalized, seg trainId uint8,
-    disparity uint16)."""
-    H, W = hw
-    img = np.full((H, W, 3), 90, np.uint8)
-    # sky / road bands give the seg head something learnable
-    seg = np.full((H, W), 255, np.uint8)
-    horizon = H // 3
-    img[:horizon] = (200, 160, 120)
-    seg[:horizon] = 10  # sky
-    img[horizon:] = (60, 60, 60)
-    seg[horizon:] = 0  # road
-    disparity = np.zeros((H, W), np.uint16)
-    far = DISPARITY_SCALE / 150.0
-    disparity[:] = int(far)
+    disparity uint16).
 
-    # fixed per-class BGR colors so the class is learnable from appearance
-    class_colors = [
-        (40, 40, 220), (40, 220, 220), (220, 40, 40), (220, 40, 220),
-        (40, 220, 40), (220, 220, 40), (140, 40, 140), (40, 140, 220),
-    ]
+    Scenes paint ALL 19 trainId classes with plausible street geometry
+    (sky/buildings/vegetation above a horizon; terrain/road/sidewalk below;
+    walls, fences, poles carrying traffic lights and signs; det-class
+    objects on the road painted with their own trainId), so seg training
+    exercises the full 19-way discrimination instead of a 3-class ceiling.
+    Every static class is guaranteed present per image; det-class coverage
+    follows the sampled boxes.
+    """
+    H, W = hw
+    img = np.zeros((H, W, 3), np.uint8)
+    seg = np.full((H, W), 255, np.uint8)
+    disparity = np.zeros((H, W), np.uint16)
+    disparity[:] = int(DISPARITY_SCALE / 150.0)  # far background
+
+    def paint(y1, y2, x1, x2, tid):
+        y1, y2 = max(0, y1), min(H, y2)
+        x1, x2 = max(0, x1), min(W, x2)
+        if y2 <= y1 or x2 <= x1:
+            return
+        seg[y1:y2, x1:x2] = tid
+        img[y1:y2, x1:x2] = _TRAINID_BGR[tid]
+
+    horizon = H // 3 + rng.randint(-H // 16, H // 16 + 1)
+
+    # sky above the horizon
+    paint(0, horizon, 0, W, 10)
+    # buildings rising above the horizon
+    for _ in range(rng.randint(2, 5)):
+        bw, bh = rng.randint(W // 10, W // 4), rng.randint(H // 6, max(H // 6 + 1, horizon))
+        x = rng.randint(0, W - bw)
+        paint(horizon - bh, horizon, x, x + bw, 2)
+    # vegetation blobs straddling the horizon
+    for _ in range(rng.randint(1, 4)):
+        vw, vh = rng.randint(W // 16, W // 6), rng.randint(H // 12, H // 5)
+        x = rng.randint(0, W - vw)
+        paint(horizon - vh // 2, horizon + vh // 2, x, x + vw, 8)
+    # wall slab on the left edge, fence on the right (always present)
+    wall_h = max(3, H // 10)
+    paint(horizon - wall_h, horizon, 0, rng.randint(W // 8, W // 3), 3)
+    fx = rng.randint(W // 2, W - W // 8)
+    paint(horizon - max(2, H // 12), horizon, fx, W, 4)
+    # terrain strip then road below
+    th = max(2, H // 24)
+    road_top = horizon + th
+    paint(horizon, road_top, 0, W, 9)
+    paint(road_top, H, 0, W, 0)
+    # sidewalks flanking the road
+    sw = max(3, W // 10)
+    paint(road_top, H, 0, sw, 1)
+    paint(road_top, H, W - sw, W, 1)
+    # poles crossing the horizon; first two carry a traffic light / sign
+    # (always one of each per image)
+    n_poles = rng.randint(2, 4)
+    for pi in range(n_poles):
+        pw = max(2, W // 80)
+        px = rng.randint(sw, W - sw - pw)
+        ph = rng.randint(H // 5, H // 3)
+        paint(horizon - ph, road_top + H // 12, px, px + pw, 5)
+        s = max(3, H // 24)
+        if pi == 0:  # traffic light box at the pole top
+            paint(horizon - ph, horizon - ph + 2 * s, px - s // 2, px + pw + s // 2, 6)
+        elif pi == 1:  # traffic sign square
+            paint(horizon - ph, horizon - ph + s, px - s // 2, px + pw + s // 2, 7)
+
     rows = []
     for _ in range(num_objects):
         cls = rng.randint(0, num_classes)
@@ -55,9 +111,10 @@ def make_example(
         y1 = rng.randint(max(0, horizon - h // 2), H - h)
         # distance inversely tied to apparent size (learnable signal)
         dist_m = float(np.clip(30.0 * W / 8.0 / max(w, h), 5.0, 150.0))
-        color = class_colors[cls % len(class_colors)]
-        cv2.rectangle(img, (x1, y1), (x1 + w, y1 + h), color, -1)
-        seg[y1 : y1 + h, x1 : x1 + w] = 13  # car trainId
+        tid = _DET_TRAINID[cls % len(_DET_TRAINID)]
+        cv2.rectangle(img, (x1, y1), (x1 + w - 1, y1 + h - 1),
+                      _TRAINID_BGR[tid], -1)
+        seg[y1 : y1 + h, x1 : x1 + w] = tid
         disparity[y1 : y1 + h, x1 : x1 + w] = int(DISPARITY_SCALE / dist_m)
         rows.append(
             [cls, x1 / W, y1 / H, (x1 + w) / W, (y1 + h) / H, min(1.0, dist_m / 255.0)]
