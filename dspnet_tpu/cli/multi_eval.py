@@ -112,8 +112,10 @@ def main(argv=None):
                                enable_aug=False, shuffle=False,
                                predownscale=args.predownscale)
     else:
+        # pad_last: val sets not divisible by the batch still evaluate their
+        # tail (padded rows are sliced off by len(fnames) in evaluate_model)
         it = MultiTaskIterator(index, args.batch_size, (H, W),
-                               enable_aug=False, shuffle=False)
+                               enable_aug=False, shuffle=False, pad_last=True)
 
     return evaluate_model(
         detector,

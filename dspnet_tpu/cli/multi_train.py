@@ -215,20 +215,26 @@ def main(argv=None):
         # (a full f32 state D2H+write can dwarf small-epoch compute) while
         # always keeping the final epoch
         if (epoch + 1) % args.checkpoint_every == 0 or epoch == last_epoch:
-            ckpt.save(begin + epoch, st)
-            log.info("checkpoint saved: %s step %d", prefix, begin + epoch)
+            # intermediate saves are async (on-device snapshot now, D2H +
+            # write on a background thread overlapping the next epoch); the
+            # final save blocks so the run exits with the write committed
+            ckpt.save(begin + epoch, st, block=epoch == last_epoch)
+            log.info("checkpoint save %s: %s step %d",
+                     "committed" if epoch == last_epoch else "started",
+                     prefix, begin + epoch)
 
     eval_iter = None
-    if args.eval_every > 0 and shard[1] > 1:
-        # the per-epoch eval path (host-side metric accumulation over a
-        # single-process detector) is not collective; run multi_eval offline
-        # on the saved checkpoints instead
-        log.info("multi-process run: skipping per-epoch eval")
-    elif args.eval_every > 0:
+    if args.eval_every > 0 and shard[0] == 0:
+        # reference evaluates every epoch (multi_solver.py:355); in
+        # multi-process runs process 0 evaluates the FULL val set on its
+        # local device (solver.fit host-copies the replicated weights),
+        # other ranks leave eval_iter None and rejoin at the next epoch's
+        # first collective
         try:
             val_index = resolve_dataset(args, "val")
             eval_iter = MultiTaskIterator(
-                val_index, args.batch_size, (H, W), enable_aug=False, shuffle=False
+                val_index, local_batch, (H, W), enable_aug=False,
+                shuffle=False, pad_last=True,
             )
         except (FileNotFoundError, AssertionError):
             log.info("no validation split found; skipping per-epoch eval")

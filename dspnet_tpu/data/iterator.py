@@ -134,7 +134,15 @@ class MultiTaskIterator:
         apply_seg_lut: bool = True,
         shuffle: bool = True,
         shard: Tuple[int, int] = (0, 1),
+        pad_last: bool = False,
     ):
+        """``pad_last``: also yield a final partial batch, padded to
+        ``batch_size`` with empty rows (zero images, all -1 det labels,
+        all-ignore seg) and ``fnames`` listing only the REAL samples —
+        consumers slice outputs by ``len(fnames)``. Without it, a val set
+        smaller than (or not divisible by) the batch silently drops its
+        tail; eval paths must pass True. Train keeps False: a padded train
+        batch would feed empty rows to the loss."""
         self.index = index
         self.batch_size = batch_size
         self.data_shape = tuple(data_shape)
@@ -145,6 +153,7 @@ class MultiTaskIterator:
         self.lut = seg_label_lut() if apply_seg_lut else None
         self.num_samples = len(index)
         self.shard = tuple(shard)
+        self.pad_last = pad_last
         # epoch positions this host owns (indices into order/aug tables)
         self.positions = shard_positions(self.num_samples, shard)
         self.order = np.arange(self.num_samples)
@@ -171,6 +180,8 @@ class MultiTaskIterator:
         self.reset()
         while self.cursor + self.batch_size <= len(self.positions):
             yield self.next_batch()
+        if self.pad_last and self.cursor < len(self.positions):
+            yield self.next_batch()
 
     def _load(self, sample: Sample):
         img, seg = load_sample_arrays(sample)
@@ -187,7 +198,8 @@ class MultiTaskIterator:
         segs = np.full((bs, H // 4, W // 4), 255, np.int32)
         has_seg = False
         fnames: List[str] = []
-        for b in range(bs):
+        n_real = min(bs, len(self.positions) - self.cursor)
+        for b in range(n_real):
             pos = int(self.positions[self.cursor])
             sample = self.index[int(self.order[pos])]
             img, label, seg = self._load(sample)

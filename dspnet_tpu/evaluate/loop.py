@@ -86,12 +86,15 @@ def evaluate_model(
 
         # batches may be device-resident (DeviceAugIterator); metric math is host numpy
         label_det = np.asarray(batch["label_det"]) if "label_det" in batch else None
+        # a pad_last iterator pads the final batch; only the first
+        # len(fnames) rows are real samples
+        n_real = len(fnames)
         if "det" in res:
             det = np.asarray(res["det"])
             inst_seg = (np.asarray(res["seg"])
                         if inst_acc is not None and "seg" in res else None)
             labels, preds = [], []
-            for b in range(det.shape[0]):
+            for b in range(min(det.shape[0], n_real)):
                 gt = label_det[b]
                 gt = gt[gt[:, 0] >= 0][:, :5]
                 rows = det[b]
@@ -119,8 +122,8 @@ def evaluate_model(
             map_metric.update(labels, preds)
 
         if "seg" in res and "seg_label" in batch:
-            seg_pred = np.asarray(res["seg"])
-            seg_gt = np.asarray(batch["seg_label"])
+            seg_pred = np.asarray(res["seg"])[:n_real]
+            seg_gt = np.asarray(batch["seg_label"])[:n_real]
             iou_metric.update(seg_gt, seg_pred)
             acc_metric.update(seg_gt, seg_pred)
             if write_results:

@@ -236,8 +236,7 @@ class MultiTaskSolver:
 
         cache: Dict[frozenset, Any] = {}
 
-        def jitted(*args):
-            batch = args[-1]
+        def _get(batch):
             key = frozenset(batch)
             if key not in cache:
                 cache[key] = jax.jit(
@@ -247,8 +246,15 @@ class MultiTaskSolver:
                     out_shardings=rep,
                     donate_argnums=donate,
                 )
-            return cache[key](*args)
+            return cache[key]
 
+        def jitted(*args):
+            return _get(args[-1])(*args)
+
+        # compile-only entry (jax.jit exposes .lower natively in the
+        # non-spatial branches; mirror it so full-shape sharding can be
+        # compile-checked without executing, tests/test_parallel.py)
+        jitted.lower = lambda *args: _get(args[-1]).lower(*args)
         return jitted
 
     def _build_train_step(self):
@@ -425,14 +431,24 @@ class MultiTaskSolver:
                     f"{k}={float(v) / counts[k]:.4f}" for k, v in agg.items()))
             if epoch_end_callback is not None:
                 epoch_end_callback(epoch, state)
-            # per-epoch validation pass (reference multi_solver.py:355-517)
-            if eval_iter is not None and eval_every > 0 and (epoch + 1) % eval_every == 0:
+            # per-epoch validation pass (reference multi_solver.py:355-517).
+            # Multi-process runs evaluate on process 0 only: the detector is
+            # a process-local (non-collective) computation, so global-mesh
+            # variables are host-copied first (DP/spatial sharding replicate
+            # params, so every process holds full copies and np.asarray is a
+            # local read); other processes skip straight to the next epoch
+            # and wait at its first train-step collective.
+            if eval_iter is not None and eval_every > 0 and (epoch + 1) % eval_every == 0 \
+                    and jax.process_index() == 0:
                 from dspnet_tpu.evaluate.loop import evaluate_model
 
                 if not hasattr(self, "_val_detector"):
                     assert data_shape is not None, "fit(eval_iter=...) needs data_shape"
                     self._val_detector = self.make_detector(state, data_shape)
-                self._val_detector.update_variables(self.detector_variables(state))
+                variables = self.detector_variables(state)
+                if jax.process_count() > 1:
+                    variables = jax.tree_util.tree_map(np.asarray, variables)
+                self._val_detector.update_variables(variables)
                 results = evaluate_model(self._val_detector, eval_iter, log_fn=log_fn)
                 log_fn(f"epoch {ep} validation: " + ", ".join(
                     f"{k}={v:.4f}" for k, v in results.items()

@@ -11,6 +11,7 @@ multi_solver.py:347-348), with prefix `{dir}/multitask_{net}_{height}`
 from __future__ import annotations
 
 import os
+import threading
 from typing import Any, Optional
 
 import orbax.checkpoint as ocp
@@ -35,18 +36,84 @@ class CheckpointManagerWrapper:
         self.mgr = ocp.CheckpointManager(
             prefix, options=options,
             item_handlers=ocp.StandardCheckpointHandler())
+        self._save_thread: Optional[threading.Thread] = None
+        self._save_exc: Optional[BaseException] = None
+        self._snap_fn = None
 
-    def save(self, epoch: int, state: Any):
-        payload = {
+    @staticmethod
+    def _payload(state: Any):
+        return {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
             "step": state.step,
         }
+
+    def _join(self):
+        """Wait for any in-flight async save; re-raise its failure (a
+        silently dropped checkpoint would defeat crash recovery)."""
+        if self._save_thread is not None:
+            self._save_thread.join()
+            self._save_thread = None
+        if self._save_exc is not None:
+            exc, self._save_exc = self._save_exc, None
+            raise RuntimeError("async checkpoint save failed") from exc
+
+    def _snapshot(self, payload):
+        """Device-side copy of every jax.Array leaf as ONE jitted program.
+
+        Two constraints shape this: (a) the training loop DONATES the state
+        buffers on the next step, so a background save reading the original
+        arrays would race a donation — the snapshot breaks the aliasing on
+        device (fast, on-chip) before training resumes; (b) per-leaf
+        ``jnp.copy`` dispatches would be hundreds of tiny remote programs on
+        the tunnel backend (minutes; see the jitted-init rule in CLAUDE.md),
+        so all leaves copy in one jit call. Non-array leaves (python ints
+        in optimizer state) pass through untouched to keep restore types.
+        """
+        import jax
+
+        leaves, treedef = jax.tree_util.tree_flatten(payload)
+        idx = [i for i, x in enumerate(leaves) if isinstance(x, jax.Array)]
+        if idx:
+            if self._snap_fn is None:
+                import jax.numpy as jnp
+
+                self._snap_fn = jax.jit(
+                    lambda xs: tuple(jnp.copy(x) for x in xs))
+            copies = self._snap_fn(tuple(leaves[i] for i in idx))
+            for i, c in zip(idx, copies):
+                leaves[i] = c
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def save(self, epoch: int, state: Any, block: bool = True):
+        """Write a checkpoint. ``block=False`` returns after an on-device
+        snapshot and runs the device->host fetch + disk write on a
+        background thread, so the 15-54 s tunnel save of a 247 MiB state
+        overlaps the next epoch instead of stalling it (the reference's
+        per-epoch do_checkpoint is fully synchronous, multi_train.py:370).
+        The next save/restore/close joins the in-flight write first."""
+        self._join()
+        payload = self._payload(state)
+        if not block:
+            payload = self._snapshot(payload)
+
+            def run():
+                try:
+                    self.mgr.save(epoch, args=ocp.args.StandardSave(payload))
+                    self.mgr.wait_until_finished()
+                except BaseException as e:  # surfaced by the next _join
+                    self._save_exc = e
+
+            self._save_thread = threading.Thread(
+                target=run, name=f"ckpt-save-{epoch}", daemon=True)
+            self._save_thread.start()
+            return
         self.mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
 
     def restore(self, epoch: Optional[int], template_state: Any):
+        self._join()
         if epoch is None:
             epoch = self.mgr.latest_step()
         assert epoch is not None, f"no checkpoints under {self.prefix}"
@@ -70,6 +137,7 @@ class CheckpointManagerWrapper:
         Unlike :meth:`restore`, this never validates against a target state,
         so a checkpoint from a DIFFERENT architecture/optimizer can be read
         and partially merged (the transfer-init path)."""
+        self._join()
         if epoch is None:
             epoch = self.mgr.latest_step()
         assert epoch is not None, f"no checkpoints under {self.prefix}"
@@ -100,9 +168,11 @@ class CheckpointManagerWrapper:
             epoch, args=ocp.args.StandardRestore(template)), epoch
 
     def latest_epoch(self) -> Optional[int]:
+        self._join()
         return self.mgr.latest_step()
 
     def close(self):
+        self._join()
         self.mgr.close()
 
 

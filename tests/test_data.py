@@ -118,6 +118,26 @@ def test_iterator_batches(tmp_path, rng):
     np.testing.assert_array_equal(batch["images"], b2["images"])
 
 
+def test_iterator_pad_last(tmp_path):
+    # val sets not divisible by the batch must still evaluate their tail:
+    # pad_last yields a final padded batch whose fnames list only the real
+    # samples; padded rows are empty (det -1, seg 255)
+    index = synthetic.build_dataset(str(tmp_path), num_samples=5, hw=(64, 128))
+    it = MultiTaskIterator(index, 2, (64, 128), enable_aug=False,
+                          shuffle=False, pad_last=True)
+    batches = list(it.epoch())
+    assert len(batches) == 3
+    tail, fnames = batches[-1]
+    assert len(fnames) == 1
+    assert tail["images"].shape[0] == 2
+    assert np.all(tail["label_det"][1] == -1.0)
+    assert np.all(tail["seg_label"][1] == 255)
+    assert np.any(tail["label_det"][0, :, 0] >= 0)  # real sample intact
+    # default drops the tail (train contract unchanged)
+    it2 = MultiTaskIterator(index, 2, (64, 128), enable_aug=False, shuffle=False)
+    assert len(list(it2.epoch())) == 2
+
+
 def test_iterator_eval_path_no_aug(tmp_path):
     index = synthetic.build_dataset(str(tmp_path), num_samples=2, hw=(64, 128))
     it = MultiTaskIterator(index, 1, (64, 128), enable_aug=False, shuffle=False)
