@@ -102,7 +102,8 @@ def main(argv=None):
         assert native_available(), "build it first: make -C native"
         it = NativeMultiTaskIterator(index, args.batch_size, (H, W),
                                      enable_aug=False, shuffle=False,
-                                     device_normalize=args.native_u8)
+                                     device_normalize=args.native_u8,
+                                     pad_last=True)
     elif args.loader == "device":
         from dspnet_tpu.data.device_pipeline import DeviceAugIterator
 
@@ -110,7 +111,7 @@ def main(argv=None):
         # arrive device-resident so predict() pays no f32 H2D per batch
         it = DeviceAugIterator(index, args.batch_size, (H, W),
                                enable_aug=False, shuffle=False,
-                               predownscale=args.predownscale)
+                               predownscale=args.predownscale, pad_last=True)
     else:
         # pad_last: val sets not divisible by the batch still evaluate their
         # tail (padded rows are sliced off by len(fnames) in evaluate_model)

@@ -156,6 +156,7 @@ class DeviceAugIterator:
         num_threads: int = 4,
         queue_cap: int = 3,
         predownscale: bool = False,
+        pad_last: bool = False,
     ):
         """``predownscale``: host-resize each raw image straight to
         ``data_shape`` (AREA for pixels, NEAREST for seg masks) before the
@@ -170,6 +171,7 @@ class DeviceAugIterator:
         self.batch_size = batch_size
         self.data_shape = tuple(data_shape)
         self.predownscale = predownscale
+        self.pad_last = pad_last
         self.mean_pixels = tuple(float(m) for m in mean_pixels)
         self.enable_aug = enable_aug
         self.apply_seg_lut = apply_seg_lut
@@ -225,10 +227,25 @@ class DeviceAugIterator:
 
         bs = self.batch_size
         n = len(self.positions)
+        starts = list(range(0, n - bs + 1, bs))
+        if self.pad_last and n % bs:
+            starts.append((n // bs) * bs)  # padded tail
         with ThreadPoolExecutor(self.num_threads) as pool:
-            for start in range(0, n - bs + 1, bs):
+            for start in starts:
                 poss = self.positions[start:start + bs]
                 decoded = list(pool.map(lambda p: self._load_raw(int(p)), poss))
+                n_real = len(decoded)
+                # pad the tail by repeating the last decoded sample: the
+                # MultiTaskIterator.pad_last contract exposes only the real
+                # rows via fnames, so padded content is sliced off by
+                # consumers and its value is irrelevant (repetition keeps
+                # raw-resolution/shape invariants without a zero-image path)
+                decoded.extend([decoded[-1]] * (bs - n_real))
+                pad_params = np.concatenate(
+                    [self.aug_params[poss],
+                     np.repeat(self.aug_params[poss[-1:]],
+                               bs - n_real, axis=0)]
+                ) if bs - n_real else self.aug_params[poss]
                 segs = [d[2] for d in decoded]
                 # MultiTaskIterator contract: emit seg_label when ANY sample
                 # in the batch has a mask, zero-filling the rest (a batch-
@@ -245,8 +262,8 @@ class DeviceAugIterator:
                     "raw": np.stack([d[0] for d in decoded]),
                     "segs": seg_arr,
                     "labels": np.stack([d[1] for d in decoded]).astype(np.float32),
-                    "params": self.aug_params[poss].astype(np.float32),
-                    "names": [d[3] for d in decoded],
+                    "params": pad_params.astype(np.float32),
+                    "names": [d[3] for d in decoded[:n_real]],
                 }
 
     # ----------------------------------------------------------- device side

@@ -53,6 +53,7 @@ def _load_lib():
     ]
     lib.dl_next_batch.restype = ctypes.c_int
     lib.dl_set_u8.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.dl_set_pad_last.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dl_next_batch_u8.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
@@ -95,11 +96,16 @@ class NativeMultiTaskIterator:
         shuffle: bool = True,
         shard: Tuple[int, int] = (0, 1),
         device_normalize: bool = False,
+        pad_last: bool = False,
     ):
         """``device_normalize``: C++ workers emit the warped uint8 RGB batch
         and the f32 mean-sub runs as a tiny jitted op on device — 4x less
         host->device traffic, bit-identical images (uint8 -> f32 - mean is
-        the exact same arithmetic the C++ does)."""
+        the exact same arithmetic the C++ does).
+
+        ``pad_last``: also emit a final partial batch padded with empty
+        rows (MultiTaskIterator.pad_last contract); ``epoch()``'s fnames
+        then list only the real samples."""
         self.lib = _load_lib()
         self._index = index
         self.batch_size = batch_size
@@ -119,6 +125,9 @@ class NativeMultiTaskIterator:
         )
         if device_normalize:
             self.lib.dl_set_u8(self.handle, 1)
+        self.pad_last = pad_last
+        if pad_last:
+            self.lib.dl_set_pad_last(self.handle, 1)
         for s in index.samples:
             lbl = np.ascontiguousarray(s.label, np.float32)
             lbl_p = lbl.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
@@ -176,7 +185,7 @@ class NativeMultiTaskIterator:
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
-            assert n == B
+            assert n == B or (self.pad_last and 0 < n <= B), n
             images = _normalize_on_device(u8, self.mean_pixels)
         else:
             images = np.empty((B, H, W, 3), np.float32)
@@ -186,8 +195,9 @@ class NativeMultiTaskIterator:
                 labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
-            assert n == B
+            assert n == B or (self.pad_last and 0 < n <= B), n
         self._consumed += 1
+        self._last_count = n  # real samples in this batch (pad_last tail)
         return {"images": images, "label_det": labels, "seg_label": segs}
 
     def __iter__(self):
@@ -207,7 +217,7 @@ class NativeMultiTaskIterator:
             i = self._consumed
             batch = self.next_batch()
             names = [self._index[int(j)].image_path
-                     for j in order[i * B:(i + 1) * B]]
+                     for j in order[i * B:i * B + self._last_count]]
             yield batch, names
 
     def close(self):

@@ -242,6 +242,7 @@ struct Loader {
   float mean[3];
   bool enable_aug;
   bool u8_mode = false;  // emit warped uint8; caller normalizes on device
+  bool pad_last = false; // emit a final partial batch, padded (eval paths)
   uint8_t seg_lut[256];
 
   std::vector<SampleDesc> samples;
@@ -250,6 +251,7 @@ struct Loader {
   std::vector<double> aug;  // per cursor position: 6 doubles
   std::atomic<int> next_index{0};
   int num_batches = 0;
+  int n_total = 0;  // samples this epoch (order length)
 
   std::mutex mu;
   std::condition_variable cv_push, cv_pop;
@@ -421,13 +423,14 @@ void worker_main(Loader* L) {
     Batch batch;
     int B = L->batch_size;
     if (L->u8_mode)
-      batch.images_u8.resize(size_t(B) * L->H * L->W * 3);
+      batch.images_u8.assign(size_t(B) * L->H * L->W * 3, 0);
     else
-      batch.images.resize(size_t(B) * L->H * L->W * 3);
+      batch.images.assign(size_t(B) * L->H * L->W * 3, 0.f);
     batch.labels.assign(size_t(B) * kMaxObjects * kLabelWidth, -1.f);
-    batch.segs.resize(size_t(B) * (L->H / 4) * (L->W / 4));
-    batch.count = B;
-    for (int i = 0; i < B; ++i) process_one(L, bidx * B + i, i, &batch);
+    // padded slots (pad_last final batch) stay ignore-255 / -1 / zero
+    batch.segs.assign(size_t(B) * (L->H / 4) * (L->W / 4), 255);
+    batch.count = std::min(B, L->n_total - bidx * B);
+    for (int i = 0; i < batch.count; ++i) process_one(L, bidx * B + i, i, &batch);
     {
       std::unique_lock<std::mutex> lk(L->mu);
       L->cv_pop.wait(lk, [&] {
@@ -510,7 +513,10 @@ void dl_start_epoch(void* handle, const int32_t* order, const double* aug, int n
     std::lock_guard<std::mutex> lk(L->mu);
     L->order.assign(order, order + n);
     L->aug.assign(aug, aug + size_t(n) * 6);
-    L->num_batches = n / L->batch_size;
+    L->n_total = n;
+    L->num_batches = (L->pad_last && n % L->batch_size)
+                         ? n / L->batch_size + 1
+                         : n / L->batch_size;
     L->next_index.store(0);
     L->next_emit = 0;
     L->queue.clear();
@@ -547,6 +553,13 @@ int dl_next_batch(void* handle, float* images, float* labels, int32_t* segs) {
 // Switch to uint8 output (call before the first dl_start_epoch).
 void dl_set_u8(void* handle, int enable) {
   ((Loader*)handle)->u8_mode = enable != 0;
+}
+
+// Also emit a final partial batch, padded with empty rows (zero image,
+// -1 labels, ignore-255 seg); dl_next_batch's return value is the REAL
+// sample count. Call before the first dl_start_epoch (eval paths).
+void dl_set_pad_last(void* handle, int enable) {
+  ((Loader*)handle)->pad_last = enable != 0;
 }
 
 // Blocking pop, uint8 mode. Returns batch count (0 on shutdown, -1 if the

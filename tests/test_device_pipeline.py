@@ -96,3 +96,21 @@ def test_device_pipeline_predownscale_mixed_sizes(tmp_path):
                            shuffle=False, enable_aug=False, predownscale=True)
     batch, _ = next(it.epoch())
     assert np.asarray(batch["images"]).shape == (2, 32, 64, 3)
+
+
+def test_device_pipeline_pad_last(dataset):
+    # 6 samples, batch 4, pad_last: 2 batches; tail fnames list only the 2
+    # real rows (padded rows repeat the last sample and are sliced off by
+    # consumers via len(fnames))
+    from dspnet_tpu.data.device_pipeline import DeviceAugIterator
+
+    it = DeviceAugIterator(dataset, 4, (128, 256), enable_aug=False,
+                           shuffle=False, pad_last=True)
+    batches = list(it.epoch())
+    assert len(batches) == 2
+    tail, names = batches[-1]
+    assert len(names) == 2
+    assert np.asarray(tail["images"]).shape[0] == 4
+    it2 = DeviceAugIterator(dataset, 4, (128, 256), enable_aug=False,
+                            shuffle=False)
+    assert len(list(it2.epoch())) == 1

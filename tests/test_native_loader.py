@@ -81,3 +81,28 @@ def test_native_epoch_yields_fnames(dataset):
         assert seen == expected
     finally:
         it.close()
+
+
+def test_native_pad_last(dataset):
+    # 6 samples, batch 4, pad_last: 2 batches; the tail holds 2 real rows
+    # and 2 padded rows (zero image after mean-sub offset, -1 labels, 255 seg)
+    it = NativeMultiTaskIterator(dataset, batch_size=4, data_shape=(64, 128),
+                                 enable_aug=False, shuffle=False,
+                                 num_threads=2, pad_last=True)
+    try:
+        batches = list(it.epoch())
+        assert len(batches) == 2
+        tail, names = batches[-1]
+        assert len(names) == 2
+        assert tail["images"].shape == (4, 64, 128, 3)
+        assert np.all(tail["label_det"][2:] == -1.0)
+        assert np.all(tail["seg_label"][2:] == 255)
+        assert np.any(tail["label_det"][0, :, 0] >= 0)
+        # without pad_last the tail is dropped
+        it2 = NativeMultiTaskIterator(dataset, batch_size=4,
+                                      data_shape=(64, 128), enable_aug=False,
+                                      shuffle=False, num_threads=2)
+        assert len(list(it2.epoch())) == 1
+        it2.close()
+    finally:
+        it.close()
