@@ -30,6 +30,29 @@ _os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
 
 from dspnet_tpu.ops import anchors, boxes  # noqa: F401
 
+# Persistent XLA compilation cache: every CLI launch re-compiles the train /
+# inference graphs from scratch (2-8 min over the remote-TPU tunnel), which
+# taxes resumable long runs (scripts/run_resumable.sh restarts) and repeat
+# benches. The cache keys on (HLO, compile options, backend version), so it
+# is correctness-neutral; DSPNET_COMPILE_CACHE=0 disables, or set a path to
+# relocate it. (jax 0.9 ignores the JAX_COMPILATION_CACHE_DIR env var, so
+# this must be the programmatic config.)
+_cache = _os.environ.get("DSPNET_COMPILE_CACHE", "1")
+if _cache != "0":
+    import jax as _jax
+
+    try:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _cache if _cache not in ("", "1") else _os.path.join(
+                _os.path.expanduser("~"), ".cache", "dspnet_tpu_xla"))
+        # cache even fast-to-compile programs: over the tunnel the win is
+        # the round-trips, not the local compile time
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # unknown flags on a future jax: run uncached
+        pass
+
 # lazy top-level API (avoids importing flax/cv2 for ops-only users)
 _LAZY = {
     "create_model": ("dspnet_tpu.api", "create_model"),
