@@ -73,44 +73,20 @@ def bench_train():
     81.5 ms/step at round-1 end, 56.4 ms after the bandwidth-lean BatchNorm
     + space-to-depth stem + seg-head tap-split + one-hot CE losses.
     """
-    import time
-
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from dspnet_tpu.api import create_model
     from dspnet_tpu.train.solver import MultiTaskSolver
+    from dspnet_tpu.utils.benchmark import canonical_train_batch, timed_train_steps
 
     B, H, W = 4, 512, 1024
     bundle = create_model("resnet-50_multi", (H, W), num_classes=8)
     solver = MultiTaskSolver(bundle.model, bundle.anchors,
                              compute_dtype="bfloat16", batch_size=B)
     state = solver.init_state(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
-    rng = np.random.RandomState(0)
-    lab = np.full((B, 200, 6), -1, np.float32)
-    lab[:, :8] = np.abs(rng.rand(B, 8, 6)).astype(np.float32)
-    lab[:, :8, 0] = rng.randint(0, 8, (B, 8))
-    lab[:, :8, 3:5] = lab[:, :8, 1:3] + 0.2
-    batch = {
-        "images": jax.device_put(rng.rand(B, H, W, 3).astype(np.float32)),
-        "label_det": jax.device_put(lab),
-        "seg_label": jax.device_put(
-            rng.randint(0, 19, (B, H // 4, W // 4)).astype(np.int32)),
-    }
-    jax.block_until_ready(batch)
-
-    # chained-accumulator timing (block_until_ready alone is unreliable on
-    # the axon backend; the donated state chains steps anyway)
-    for _ in range(3):
-        state, metrics = solver.train_step(state, batch)
-    float(metrics["loss"])
-    n = 20
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = solver.train_step(state, batch)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / n
+    batch = canonical_train_batch(B, H, W)
+    state, dt = timed_train_steps(solver, state, batch)
     # fwd+bwd FLOPs ~= 3x forward; forward ~0.46 TFLOP at 512x1024 b4
     # (conv/matmul FLOPs from the XLA cost analysis of the forward graph)
     mfu = 3 * 0.457e12 / dt / 197e12  # v5e bf16 peak 197 TFLOP/s
@@ -125,13 +101,20 @@ def bench_train():
 
 
 def main():
+    train_mode = bool(os.environ.get("BENCH_TRAIN"))
     if not wait_for_backend():
-        # one structured line the driver can record, not a traceback
+        # one structured line the driver can record, not a traceback —
+        # labeled with the metric the selected mode would have produced
         print(json.dumps({"error": "tpu_unavailable",
-                          "metric": "multitask_inference_throughput_512x512",
+                          "metric": ("multitask_train_step_512x1024_b4_bf16"
+                                     if train_mode else
+                                     "multitask_inference_throughput_512x512"),
                           "value": None, "unit": "images/sec/chip",
                           "vs_baseline": None}))
         return
+
+    if train_mode:
+        return bench_train()
 
     import jax
     import jax.numpy as jnp
@@ -139,9 +122,6 @@ def main():
     from dspnet_tpu.api import create_model
     from dspnet_tpu.ops.detection import multibox_detection
     from dspnet_tpu.utils.precision import bf16_variables
-
-    if os.environ.get("BENCH_TRAIN"):
-        return bench_train()
 
     H = W = 512
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128

@@ -43,8 +43,9 @@ def make_example(
     walls, fences, poles carrying traffic lights and signs; det-class
     objects on the road painted with their own trainId), so seg training
     exercises the full 19-way discrimination instead of a 3-class ceiling.
-    Every static class is guaranteed present per image; det-class coverage
-    follows the sampled boxes.
+    Ten static classes are guaranteed present per image (vegetation can be
+    fully overpainted by later geometry); det-class coverage follows the
+    sampled boxes, and all 19 classes appear across a handful of images.
     """
     H, W = hw
     img = np.zeros((H, W, 3), np.uint8)

@@ -43,7 +43,7 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 
 import numpy as np
 
-from dspnet_tpu.data.cs_labels import id2label, labels, name2label
+from dspnet_tpu.data.cs_labels import labels, name2label
 
 OVERLAPS = np.arange(0.5, 1.0, 0.05)
 # minimum GT region size in pixels (evalInstanceLevelSemanticLabeling.py:131;

@@ -447,7 +447,14 @@ class MultiTaskSolver:
                     self._val_detector = self.make_detector(state, data_shape)
                 variables = self.detector_variables(state)
                 if jax.process_count() > 1:
-                    variables = jax.tree_util.tree_map(np.asarray, variables)
+                    # re-home the replicated global-mesh weights as LOCAL
+                    # single-device arrays: addressable_data(0) is the
+                    # process-local shard already on device — zero-copy, no
+                    # D2H (hand-fetching the pytree with np.asarray pays
+                    # serial per-leaf round-trips AND re-uploads the full
+                    # weight set on every predict; see CLAUDE.md)
+                    variables = jax.tree_util.tree_map(
+                        lambda x: x.addressable_data(0), variables)
                 self._val_detector.update_variables(variables)
                 results = evaluate_model(self._val_detector, eval_iter, log_fn=log_fn)
                 log_fn(f"epoch {ep} validation: " + ", ".join(

@@ -14,7 +14,6 @@ measurement by >2%; delete it (and its equivalence test) if it loses both.
 
 import os
 import sys
-import time
 
 os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
 
@@ -22,18 +21,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timed(fn, *args, n=20, warmup=3):
-    acc = jnp.float32(0)
-    for _ in range(warmup):
-        acc = acc + fn(*args)
-    float(acc)
-    acc = jnp.float32(0)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        acc = acc + fn(*args)
-    float(acc)
-    return (time.perf_counter() - t0) / n
+from dspnet_tpu.utils.benchmark import (
+    canonical_train_batch,
+    timed,
+    timed_train_steps,
+)
 
 
 def bench_standalone():
@@ -88,27 +80,8 @@ def bench_embedded(phase: bool):
         solver = MultiTaskSolver(bundle2.model, bundle2.anchors,
                                  compute_dtype="bfloat16", batch_size=B)
         state = solver.init_state(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
-        rng = np.random.RandomState(0)
-        lab = np.full((B, 200, 6), -1, np.float32)
-        lab[:, :8] = np.abs(rng.rand(B, 8, 6)).astype(np.float32)
-        lab[:, :8, 0] = rng.randint(0, 8, (B, 8))
-        lab[:, :8, 3:5] = lab[:, :8, 1:3] + 0.2
-        batch = {
-            "images": jax.device_put(rng.rand(B, H, W, 3).astype(np.float32)),
-            "label_det": jax.device_put(lab),
-            "seg_label": jax.device_put(
-                rng.randint(0, 19, (B, H // 4, W // 4)).astype(np.int32)),
-        }
-        jax.block_until_ready(batch)
-        for _ in range(3):
-            state, metrics = solver.train_step(state, batch)
-        float(metrics["loss"])
-        n = 20
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, metrics = solver.train_step(state, batch)
-        float(metrics["loss"])
-        t_tr = (time.perf_counter() - t0) / n
+        batch = canonical_train_batch(B, H, W)
+        state, t_tr = timed_train_steps(solver, state, batch)
         print(f"  phase={phase} train step b4 512x1024: {t_tr * 1e3:.2f} ms")
         return t_inf, t_tr
     finally:

@@ -11,7 +11,6 @@ unreliable on the axon backend; see .claude/skills/verify/SKILL.md).
 
 import os
 import sys
-import time
 
 os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
 
@@ -19,18 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timed(fn, *args, n=20, warmup=3):
-    acc = jnp.float32(0)
-    for _ in range(warmup):
-        acc = acc + fn(*args)
-    float(acc)
-    acc = jnp.float32(0)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        acc = acc + fn(*args)
-    float(acc)
-    return (time.perf_counter() - t0) / n
+from dspnet_tpu.utils.benchmark import timed
 
 
 def conv_flops(B, H, W, Cin, Cout, k, stride):

@@ -16,7 +16,6 @@ attack bytes (fusion, layouts, dtype); low on both means latency/overhead.
 
 import os
 import sys
-import time
 
 os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
 
@@ -31,6 +30,7 @@ V5E_HBM_BPS = 819e9
 def main():
     from dspnet_tpu.api import create_model
     from dspnet_tpu.train.solver import MultiTaskSolver
+    from dspnet_tpu.utils.benchmark import canonical_train_batch, timed_train_steps
 
     B, H, W = 4, 512, 1024
     print(f"devices: {jax.devices()}")
@@ -38,18 +38,7 @@ def main():
     solver = MultiTaskSolver(bundle.model, bundle.anchors,
                              compute_dtype="bfloat16", batch_size=B)
     state = solver.init_state(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
-    rng = np.random.RandomState(0)
-    lab = np.full((B, 200, 6), -1, np.float32)
-    lab[:, :8] = np.abs(rng.rand(B, 8, 6)).astype(np.float32)
-    lab[:, :8, 0] = rng.randint(0, 8, (B, 8))
-    lab[:, :8, 3:5] = lab[:, :8, 1:3] + 0.2
-    batch = {
-        "images": jax.device_put(rng.rand(B, H, W, 3).astype(np.float32)),
-        "label_det": jax.device_put(lab),
-        "seg_label": jax.device_put(
-            rng.randint(0, 19, (B, H // 4, W // 4)).astype(np.int32)),
-    }
-    jax.block_until_ready(batch)
+    batch = canonical_train_batch(B, H, W)
 
     # compiled-step cost analysis
     if solver._train_step is None:
@@ -70,16 +59,7 @@ def main():
     except Exception:
         pass
 
-    # timing (chained accumulator; block_until_ready unreliable on axon)
-    for _ in range(3):
-        state, metrics = solver.train_step(state, batch)
-    float(metrics["loss"])
-    n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        state, metrics = solver.train_step(state, batch)
-    float(metrics["loss"])
-    dt = (time.perf_counter() - t0) / n
+    state, dt = timed_train_steps(solver, state, batch, n=30)
     print(f"step: {dt * 1e3:.2f} ms ({B / dt:.1f} img/s)")
     mfu = flops / dt / V5E_BF16_TFLOPS
     hbm = bytes_acc / dt / V5E_HBM_BPS
