@@ -58,6 +58,7 @@ _LAZY = {
     "create_model": ("dspnet_tpu.api", "create_model"),
     "ModelBundle": ("dspnet_tpu.api", "ModelBundle"),
     "Detector": ("dspnet_tpu.detect.detector", "Detector"),
+    "ServingPipeline": ("dspnet_tpu.detect.pipeline", "ServingPipeline"),
     "MultiTaskSolver": ("dspnet_tpu.train.solver", "MultiTaskSolver"),
     "MultiTaskIterator": ("dspnet_tpu.data.iterator", "MultiTaskIterator"),
     "evaluate_model": ("dspnet_tpu.evaluate.loop", "evaluate_model"),

