@@ -106,3 +106,28 @@ def test_native_pad_last(dataset):
         it2.close()
     finally:
         it.close()
+
+
+def test_native_pad_last_u8(dataset):
+    # pad_last composes with the uint8 device-normalize mode: padded image
+    # rows are zero bytes -> -mean after on-device normalize; labels/seg
+    # carry the empty-row sentinels
+    it = NativeMultiTaskIterator(dataset, batch_size=4, data_shape=(64, 128),
+                                 enable_aug=False, shuffle=False,
+                                 num_threads=2, pad_last=True,
+                                 device_normalize=True)
+    try:
+        batches = list(it.epoch())
+        assert len(batches) == 2
+        tail, names = batches[-1]
+        assert len(names) == 2
+        img = np.asarray(tail["images"])
+        from dspnet_tpu.data.augment import MEAN_PIXELS
+        np.testing.assert_allclose(
+            img[2:],
+            np.broadcast_to(-np.asarray(MEAN_PIXELS, np.float32),
+                            img[2:].shape), atol=1e-5)
+        assert np.all(tail["label_det"][2:] == -1.0)
+        assert np.all(tail["seg_label"][2:] == 255)
+    finally:
+        it.close()
