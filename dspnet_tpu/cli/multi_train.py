@@ -66,6 +66,10 @@ def parse_args(argv=None):
                         "the full state to host - debugging only")
     p.add_argument("--pattern", default=".*",
                    help="with --monitor: regex of param paths to log")
+    p.add_argument("--metrics-jsonl", default="",
+                   help="append per-epoch train/val metrics as JSON lines "
+                        "({epoch, split, time, ...metrics}) — structured "
+                        "training curves without log parsing")
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save every N epochs (reference: every epoch); the "
@@ -239,6 +243,17 @@ def main(argv=None):
         except (FileNotFoundError, AssertionError):
             log.info("no validation split found; skipping per-epoch eval")
 
+    metrics_sink = None
+    if args.metrics_jsonl and jax.process_index() == 0:
+        import json
+        import time as _time
+
+        def metrics_sink(ep, split, metrics):
+            with open(args.metrics_jsonl, "a") as f:
+                f.write(json.dumps(
+                    {"epoch": ep, "split": split, "time": _time.time(),
+                     **metrics}) + "\n")
+
     batch_cb = None
     if args.monitor > 0:
         from dspnet_tpu.utils.profiler import StatMonitor
@@ -258,6 +273,7 @@ def main(argv=None):
         log_every=args.log_every,
         batch_end_callback=batch_cb,
         epoch_offset=begin,
+        metrics_sink=metrics_sink,
     )
     ckpt.close()
     return state

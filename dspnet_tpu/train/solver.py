@@ -355,6 +355,7 @@ class MultiTaskSolver:
         log_every: int = 20,
         batch_end_callback=None,
         epoch_offset: int = 0,
+        metrics_sink=None,
     ) -> TrainState:
         """Reference-style fit loop (multi_solver.py:182-353): per-batch train
         step, periodic metric logging, per-epoch checkpoint callback. Batches
@@ -364,6 +365,12 @@ class MultiTaskSolver:
         ``epoch_offset`` shifts the epoch numbers in log lines (a resumed run
         reports absolute epochs, like the reference's begin_epoch-based loop,
         multi_solver.py:232); callbacks still receive the 0-based loop epoch.
+
+        ``metrics_sink(absolute_epoch, split, metrics_dict)`` receives the
+        per-epoch train means (split='train') and validation results
+        (split='val') as plain floats — the structured counterpart of the
+        log lines (the CLI's --metrics-jsonl writes them as JSON lines for
+        training-curve tooling).
 
         Checkpoint semantics under ``grad_accum > 1``: chunks are counted in
         microbatches and carry ACROSS epoch boundaries, and the pending
@@ -427,8 +434,11 @@ class MultiTaskSolver:
                     # 341-345) — e.g. StatMonitor (mx.mon.Monitor analog)
                     batch_end_callback(state, n)
             if n:
+                means = {k: float(v) / counts[k] for k, v in agg.items()}
                 log_fn(f"epoch {ep} done: " + ", ".join(
-                    f"{k}={float(v) / counts[k]:.4f}" for k, v in agg.items()))
+                    f"{k}={v:.4f}" for k, v in means.items()))
+                if metrics_sink is not None:
+                    metrics_sink(ep, "train", means)
             if epoch_end_callback is not None:
                 epoch_end_callback(epoch, state)
             # per-epoch validation pass (reference multi_solver.py:355-517).
@@ -460,6 +470,10 @@ class MultiTaskSolver:
                 log_fn(f"epoch {ep} validation: " + ", ".join(
                     f"{k}={v:.4f}" for k, v in results.items()
                     if isinstance(v, float) and k in ("mAP", "mIoU", "accuracy", "derror")))
+                if metrics_sink is not None:
+                    metrics_sink(ep, "val", {
+                        k: float(v) for k, v in results.items()
+                        if isinstance(v, (int, float)) and np.isfinite(v)})
             # (MultiTaskIterator reshuffles + resamples aug params in its own
             # __iter__; no explicit reset here or epochs would double-shuffle)
         if acc is not None:

@@ -148,3 +148,25 @@ def test_monitor_flag(workdir, caplog):
     lines = [r.message for r in caplog.records if r.message.startswith("monitor ")]
     assert lines and all("backbone/conv0" in l for l in lines)
     assert any("mean=" in l and "shape=" in l for l in lines)
+
+
+def test_metrics_jsonl(workdir):
+    import json
+
+    from dspnet_tpu.cli import multi_train
+
+    path = str(workdir / "metrics.jsonl")
+    multi_train.main(NET + DEV + [
+        "--batch-size", "2", "--synthetic", "4",
+        "--synthetic-dir", str(workdir / "synth"),
+        "--end-epoch", "1", "--eval-every", "1",
+        "--model-dir", str(workdir / "model_mj"), "--seg-normalize", "valid",
+        "--metrics-jsonl", path,
+    ])
+    rows = [json.loads(l) for l in open(path)]
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "val"}
+    tr = next(r for r in rows if r["split"] == "train")
+    assert tr["epoch"] == 0 and "loss" in tr
+    va = next(r for r in rows if r["split"] == "val")
+    assert "mAP" in va and "ms_per_batch" in va
