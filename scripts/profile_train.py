@@ -17,6 +17,10 @@ attack bytes (fusion, layouts, dtype); low on both means latency/overhead.
 import os
 import sys
 
+# running as `python scripts/foo.py` puts scripts/ (not the repo
+# root) on sys.path; make `import dspnet_tpu` work regardless of cwd
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("AXON_JOURNAL_COMPACT", "1")
 
 import jax
