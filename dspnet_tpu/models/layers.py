@@ -310,18 +310,6 @@ def bilinear_upsample_kernel(size: int, dtype=np.float32) -> np.ndarray:
     return ((1 - abs(og[0] - center) / factor) * (1 - abs(og[1] - center) / factor)).astype(dtype)
 
 
-class _ParamHolder(nn.Module):
-    """A named scope holding one 'kernel' param (checkpoint-path shim)."""
-
-    kernel_init: Callable
-    kernel_shape: tuple
-
-    @nn.compact
-    def __call__(self):
-        return self.param(
-            "kernel", self.kernel_init, self.kernel_shape, jnp.float32)
-
-
 class Deconv2x(nn.Module):
     """4x4 stride-2 pad-1 transposed conv (exact 2x upsample), initialized
     with the bilinear filter like the reference (multi_init.py:160-168).
@@ -333,19 +321,14 @@ class Deconv2x(nn.Module):
     importing MXNet-trained deconv kernels needs a spatial flip + in/out
     transpose (utils/mxnet_import._deconv_kernel).
 
-    ``phase_conv=True`` computes the SAME map as one stride-1 conv over the
-    1-padded input producing the 4 subpixel phases as output channels, then
-    a depth-to-space shuffle: output(2i+a, 2j+b) only ever reads the kernel
-    taps of parity (a, b), so each phase is a 2x2-tap conv — embedded in a
-    shared 3x3 window (rows (0,1) for a=0, (1,2) for a=1) so all phases
-    read one input window. On TPU this replaces the input-dilated conv
-    (4x the output pixels, 4/16 taps nonzero) with a dense low-res conv —
-    same math, only fp op order differs. Parameter layout is identical;
-    the 3x3 phase kernel is re-derived from the (4,4,C,F) param each call.
+    A subpixel-phase reformulation (stride-1 conv producing the 4 phases +
+    depth-to-space) was A/B-benched on v5e 2026-08-18 and LOST embedded in
+    the model (train step 55.7 vs 54.2 ms; inference within noise), so
+    only this plain path exists — XLA already lowers the input-dilated
+    transposed conv well at the seg head's 19-channel shapes.
     """
 
     features: int
-    phase_conv: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -359,44 +342,14 @@ class Deconv2x(nn.Module):
                 k[:, :, i, i] = filt
             return jnp.asarray(k, dtype)
 
-        if not self.phase_conv:
-            # lax.conv_transpose padding applies to the dilated input;
-            # MXNet's deconv pad p corresponds to (k - 1 - p) = 2 per side
-            # for k=4, p=1, giving exactly 2x output size.
-            return nn.ConvTranspose(
-                features=self.features,
-                kernel_size=(4, 4),
-                strides=(2, 2),
-                padding=((2, 2), (2, 2)),
-                use_bias=False,
-                kernel_init=init,
-            )(x)
-
-        # keep the checkpoint tree path <name>/ConvTranspose_0/kernel that
-        # the default branch (and every saved state) uses
-        kernel = _ParamHolder(
-            init, (4, 4, c_in, self.features), name="ConvTranspose_0",
-        )().astype(x.dtype)
-        f = self.features
-        # out(2i+a, 2j+b) = sum_{dy,dx in {0,1}} k[2dy+a-? ...] — derived:
-        # a=0 reads taps (0,2) over inputs (i-1, i); a=1 taps (1,3) over
-        # (i, i+1). With xp = pad(x, 1) and a VALID 3x3 window anchored at
-        # i, that is rows (0,1) of the window for a=0 and rows (1,2) for
-        # a=1 (same for columns) — so embed each phase's 2x2 taps into a
-        # zero 3x3 at those offsets.
-        k3 = jnp.zeros((3, 3, c_in, 4 * f), x.dtype)
-        for a in (0, 1):
-            for b in (0, 1):
-                sub = kernel[a::2, b::2]  # taps (w_a, w_{a+2}) per axis
-                p = (a * 2 + b) * f
-                k3 = jax.lax.dynamic_update_slice(
-                    k3, sub, (a, b, 0, p))
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        y = jax.lax.conv_general_dilated(
-            xp, k3, (1, 1), [(0, 0), (0, 0)],
-            dimension_numbers=jax.lax.conv_dimension_numbers(
-                xp.shape, k3.shape, ("NHWC", "HWIO", "NHWC")),
-        )
-        b_, h, w, _ = y.shape
-        y = y.reshape(b_, h, w, 2, 2, f)
-        return y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h, 2 * w, f)
+        # lax.conv_transpose padding applies to the dilated input;
+        # MXNet's deconv pad p corresponds to (k - 1 - p) = 2 per side
+        # for k=4, p=1, giving exactly 2x output size.
+        return nn.ConvTranspose(
+            features=self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding=((2, 2), (2, 2)),
+            use_bias=False,
+            kernel_init=init,
+        )(x)

@@ -26,8 +26,8 @@ run bench_train 1800 env BENCH_TRAIN=1 python bench.py
 # 2. roofline / MFU re-profile (item 2)
 run profile_train 1800 python scripts/profile_train.py
 
-# 3. phase_conv A/B (item 4)
-run ab_phase_conv 3600 python scripts/ab_phase_conv.py
+# 3. phase_conv A/B ran 2026-08-18: DELETED the variant (train 55.7 vs
+#    54.2 ms, inference within noise) — see models/layers.py Deconv2x.
 
 # 4. int8 feasibility probe (item 8)
 run probe_int8 1800 python scripts/probe_int8.py
