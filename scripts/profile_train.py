@@ -36,7 +36,8 @@ def main():
     from dspnet_tpu.train.solver import MultiTaskSolver
     from dspnet_tpu.utils.benchmark import canonical_train_batch, timed_train_steps
 
-    B, H, W = 4, 512, 1024
+    B = int(os.environ.get("PROFILE_BATCH", "4"))
+    H, W = 512, 1024
     print(f"devices: {jax.devices()}")
     bundle = create_model("resnet-50_multi", (H, W), num_classes=8)
     solver = MultiTaskSolver(bundle.model, bundle.anchors,
