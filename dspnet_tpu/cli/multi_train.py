@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -19,7 +20,7 @@ from dspnet_tpu.cli.common import parse_data_shape, resolve_dataset, setup_loggi
 from dspnet_tpu.data.iterator import MultiTaskIterator
 from dspnet_tpu.parallel.mesh import make_mesh
 from dspnet_tpu.train.lr import lr_scheduler_from_epochs
-from dspnet_tpu.train.solver import MultiTaskSolver
+from dspnet_tpu.train.solver import MultiTaskSolver, TrainingDiverged
 from dspnet_tpu.utils.checkpoint import CheckpointManagerWrapper, checkpoint_prefix
 
 
@@ -261,20 +262,27 @@ def main(argv=None):
         mon = StatMonitor(interval=args.monitor, pattern=args.pattern, logger=log)
         batch_cb = lambda st, n: mon.tic_toc(st.params)  # noqa: E731
 
-    state = solver.fit(
-        state,
-        train_iter,
-        num_epochs=args.end_epoch - begin,
-        eval_iter=eval_iter,
-        eval_every=args.eval_every,
-        data_shape=(H, W),
-        log_fn=log.info,
-        epoch_end_callback=epoch_cb,
-        log_every=args.log_every,
-        batch_end_callback=batch_cb,
-        epoch_offset=begin,
-        metrics_sink=metrics_sink,
-    )
+    try:
+        state = solver.fit(
+            state,
+            train_iter,
+            num_epochs=args.end_epoch - begin,
+            eval_iter=eval_iter,
+            eval_every=args.eval_every,
+            data_shape=(H, W),
+            log_fn=log.info,
+            epoch_end_callback=epoch_cb,
+            log_every=args.log_every,
+            batch_end_callback=batch_cb,
+            epoch_offset=begin,
+            metrics_sink=metrics_sink,
+        )
+    except TrainingDiverged as e:
+        # exit 3 = deterministic failure: run_resumable.sh must NOT retry
+        # (a resume replays the same seeded epoch and diverges again)
+        log.error(str(e))
+        ckpt.close()
+        sys.exit(3)
     ckpt.close()
     return state
 

@@ -27,6 +27,18 @@ from dspnet_tpu.train import losses as loss_mod
 from dspnet_tpu.train.optim import mxnet_sgd
 
 
+class TrainingDiverged(RuntimeError):
+    """Raised by :meth:`MultiTaskSolver.fit` when a synced loss is NaN/inf.
+
+    With SGD+momentum a non-finite loss never recovers (the gradients, and
+    on the next update the params, are already non-finite), so continuing —
+    or letting ``run_resumable.sh`` restart into — a diverged run only burns
+    device time and writes NaN checkpoints. The reference has no such guard
+    (its loop logs NaN metrics forever, multi_solver.py:341-353). Detection
+    piggybacks on the metric host-syncs the loop already performs, so the
+    guard adds no device round-trips."""
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -342,6 +354,20 @@ class MultiTaskSolver:
             variables["batch_stats"] = state.batch_stats
         return variables
 
+    @staticmethod
+    def _check_finite(metrics: Dict[str, float], epoch: int, batch: int):
+        """Abort on NaN/inf loss (see :class:`TrainingDiverged`). Runs only
+        on already-host-synced floats — never forces a device sync itself."""
+        bad = [k for k, v in metrics.items() if not np.isfinite(v)]
+        if bad:
+            raise TrainingDiverged(
+                f"non-finite training metrics {bad} at epoch {epoch} batch "
+                f"{batch}: {metrics}. The run has diverged (params are "
+                "already non-finite); lower --lr, or with the reference's "
+                "unnormalized seg loss (--seg-normalize null, a per-pixel "
+                "SUM calibrated to lr 5e-4) use --seg-normalize valid for "
+                "larger learning rates.")
+
     def fit(
         self,
         state: TrainState,
@@ -429,6 +455,7 @@ class MultiTaskSolver:
                 if n % log_every == 0:
                     m = {k: float(v) for k, v in metrics.items()}  # sync point
                     log_fn(f"epoch {ep} batch {n}: " + ", ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                    self._check_finite(m, ep, n)
                 if batch_end_callback is not None:
                     # reference batch_end_callback slot (multi_solver.py:
                     # 341-345) — e.g. StatMonitor (mx.mon.Monitor analog)
@@ -437,6 +464,7 @@ class MultiTaskSolver:
                 means = {k: float(v) / counts[k] for k, v in agg.items()}
                 log_fn(f"epoch {ep} done: " + ", ".join(
                     f"{k}={v:.4f}" for k, v in means.items()))
+                self._check_finite(means, ep, n)
                 if metrics_sink is not None:
                     metrics_sink(ep, "train", means)
             if epoch_end_callback is not None:

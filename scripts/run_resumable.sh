@@ -42,6 +42,13 @@ while true; do
   done
   stamp=$(mktemp)
   python -m dspnet_tpu.cli.multi_train "$@" --resume 0 && { rm -f "$stamp"; exit 0; }
+  rc=$?
+  if [ "$rc" -eq 3 ]; then
+    # exit 3 = TrainingDiverged (NaN/inf loss): deterministic — a resume
+    # replays the same seeded epoch and diverges again. Don't retry.
+    echo "run_resumable: training diverged (exit 3); not retrying" >&2
+    rm -f "$stamp"; exit 3
+  fi
   progressed=$(find "$model_dir" -type f -newer "$stamp" 2>/dev/null | head -1)
   rm -f "$stamp"
   if [ -n "$progressed" ]; then tries=0; else tries=$((tries + 1)); fi

@@ -62,6 +62,6 @@ echo "  nohup scripts/run_resumable.sh --network resnet-50_multi \\"
 echo "    --data-shape 3,512,1024 --batch-size 16 --synthetic 512 \\"
 echo "    --synthetic-val 48 --synthetic-dir /tmp/dspnet_synth19 \\"
 echo "    --end-epoch 200 --compute-dtype bfloat16 --model-dir /tmp/conv19 \\"
-echo "    --checkpoint-every 10 --eval-every 10 --lr 0.002 \\"
+echo "    --checkpoint-every 10 --eval-every 10 --lr 0.002 --seg-normalize valid \\"
 echo "    --metrics-jsonl /tmp/conv19_metrics.jsonl \\"
 echo "    --loader native --native-u8 > $LOGDIR/conv19.log 2>&1 &"

@@ -96,6 +96,34 @@ def test_single_device_train_step_decreases_loss(rng):
     assert int(state.step) == 6
 
 
+def test_fit_aborts_on_divergence(rng):
+    """A NaN loss must abort fit() with TrainingDiverged instead of training
+    (and checkpointing) garbage for the rest of the run."""
+    from dspnet_tpu.train.solver import TrainingDiverged
+
+    # unit: the guard fires on any non-finite metric, passes finite ones
+    MultiTaskSolver._check_finite({"loss": 1.0, "ce": 0.5}, 0, 20)
+    with pytest.raises(TrainingDiverged, match="epoch 3 batch 20"):
+        MultiTaskSolver._check_finite({"loss": float("nan")}, 3, 20)
+    with pytest.raises(TrainingDiverged, match="seg-normalize"):
+        MultiTaskSolver._check_finite({"loss": float("inf")}, 0, 1)
+
+    # integration: a batch with non-finite pixels NaNs the first step; the
+    # loop must raise at its first log sync rather than keep iterating
+    H, W = 128, 256
+    cfg = factory.get_config("resnet-18", 512)
+    model = DSPNet(cfg=cfg, num_classes=8, task="multi")
+    anchors = factory.build_anchors(cfg.drop_first_tap(), (H, W))
+    solver = MultiTaskSolver(model, anchors, learning_rate=1e-3, batch_size=2,
+                             seg_normalize="valid")
+    batch = _tiny_batch(rng, 2, H, W)
+    batch["images"][0, 0, 0, 0] = np.nan
+    state = solver.init_state(jax.random.PRNGKey(0), jnp.asarray(batch["images"]))
+    with pytest.raises(TrainingDiverged):
+        solver.fit(state, [batch] * 3, num_epochs=1, eval_every=0,
+                   log_every=1, log_fn=lambda *_: None)
+
+
 def test_data_parallel_mesh_8_devices(rng):
     assert jax.device_count() == 8
     H, W = 128, 256
