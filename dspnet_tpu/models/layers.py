@@ -195,7 +195,18 @@ class L2Normalize(nn.Module):
 
 
 def max_pool(x, kernel, stride, pad=(0, 0)):
-    """MXNet 'valid'-convention max pool (floor output size)."""
+    """MXNet 'valid'-convention max pool (floor output size).
+
+    The backward stays XLA's reduce_window VJP (select_and_scatter). Two
+    replacements for that op — the biggest single HLO in the train-step
+    roofline — were built, benched on v5e, and DELETED as losers
+    (docs/ROOFLINE.md "maxpool backward" section, 2026-08-19): a pure-XLA
+    first-match rewrite (43 ms vs 6.9 fwd+bwd: every strided slice or
+    interior pad pays a relayout pass) and a Pallas parity-plane kernel
+    (3.8 ms vs ~2.5 for the bwd alone at the stem b8 shape: VPU-bound on
+    half-empty 64-channel lanes, Mosaic forbids every strided vector
+    access so 30+ elementwise passes remain).
+    """
     if isinstance(kernel, int):
         kernel = (kernel, kernel)
     if isinstance(stride, int):
