@@ -1,5 +1,9 @@
 #!/usr/bin/env bash
 # Round-3 TPU work queue — run when the axon tunnel is back.
+# STATUS: fully drained 2026-08-18/19. Benches + profile + grad-accum
+# smoke + async-ckpt measurements are in PARITY.md/CLAUDE.md; the
+# 19-class convergence run completed (docs/CONVERGENCE_r3.md). Kept as
+# the template for future hardware-session queues.
 # Sequential (the chip serves one heavy process well); each stage logs to
 # $LOGDIR and failures don't block later stages. The long convergence run
 # goes LAST so the quick evidence lands first.
