@@ -10,7 +10,8 @@ NMS, and softmax stay float32), Pallas fused-NMS backend, seg_fast head
 ~1700 img/s vs 1611 reference-exact at b128 on v5e; set BENCH_SEG_EXACT=1
 for the reference-exact head). Default batch 128 maximizes throughput/chip;
 pass a smaller batch as argv[1] for latency-oriented serving.
-BENCH_TRAIN=1 switches to the canonical train-step benchmark (bench_train).
+BENCH_TRAIN=1 switches to the canonical train-step benchmark (bench_train);
+BENCH_SERVE=1 to the 512x1024 b1 serving-latency benchmark (bench_serve).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 ``vs_baseline`` is value / 500 (the >=500 img/s/chip target for v5e).
@@ -117,21 +118,109 @@ def bench_train():
     }))
 
 
+def bench_serve():
+    """BENCH_SERVE=1 mode: 512x1024 b1 serving latency, three numbers that
+    tell the serving story (regression guard for VERDICT r3 item 8):
+
+    * ``sync_ms`` — one `predict_raw` (uint8 BGR H2D + on-device normalize
+      + forward + full D2H) per call, materialized before the next call.
+      Tunnel-RTT-bound over axon (~47 ms measured round 2).
+    * ``pipelined_ms`` — ServingPipeline depth=2 (async dispatch, results
+      one window behind): each call's H2D/compute/D2H overlaps its
+      neighbors' (~16 ms sustained). The headline ``value``.
+    * ``device_resident_ms`` — forward only, input already on device
+      (~4 ms): the pure-compute floor the pipeline approaches on real
+      PCIe hosts.
+
+    Reference counterpart: the per-frame FPS print,
+    /root/reference/detect/multitask_detector.py:454.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dspnet_tpu.api import create_model
+    from dspnet_tpu.detect.detector import Detector
+    from dspnet_tpu.detect.pipeline import ServingPipeline
+    from dspnet_tpu.utils.benchmark import timed
+    from dspnet_tpu.utils.precision import bf16_variables
+
+    H, W = 512, 1024
+    bundle = create_model("resnet-50_multi", (H, W), num_classes=8)
+    variables = jax.jit(lambda r, x: bundle.model.init(r, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3), jnp.float32))
+    variables = bf16_variables(variables)
+    det = Detector(bundle.model, variables, bundle.anchors, (H, W))
+
+    rng = np.random.RandomState(0)
+    frame = rng.randint(0, 256, (1, H, W, 3), np.uint8)
+
+    def materialize(res):
+        return {k: np.asarray(v) for k, v in res.items()}
+
+    # --- sync: materialize every call before dispatching the next
+    n = 30
+    materialize(det.predict_raw(frame))  # compile + warm
+    materialize(det.predict_raw(frame))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        materialize(det.predict_raw(frame))
+    sync_ms = (time.perf_counter() - t0) / n * 1e3
+
+    # --- pipelined: depth-2 window, results one window behind
+    pipe = ServingPipeline(det, depth=2, raw=True)
+    for _ in range(4):  # fill + warm the window
+        pipe.submit(frame)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        pipe.submit(frame)
+    for _ in pipe.drain():
+        pass
+    pipelined_ms = (time.perf_counter() - t0) / n * 1e3
+
+    # --- device-resident: pure compute, chained-accumulator timing
+    # (block_until_ready is unreliable on axon — utils/benchmark.timed)
+    images = jax.device_put(
+        (frame[..., ::-1].astype(np.float32) - np.asarray(det.mean_pixels)))
+    jax.block_until_ready(images)
+
+    def step(v, x):
+        res = det._predict(v, x)
+        return (res["det"][0, 0, 1].astype(jnp.float32)
+                + res["seg"][0, 0, 0].astype(jnp.float32))
+
+    device_ms = timed(step, variables, images, n=n) * 1e3
+
+    print(json.dumps({
+        "metric": "serving_latency_512x1024_b1",
+        "value": round(pipelined_ms, 2),
+        "unit": "ms/call",
+        "vs_baseline": round(47.0 / pipelined_ms, 4),  # vs the r2 sync number
+        "sync_ms": round(sync_ms, 2),
+        "pipelined_ms": round(pipelined_ms, 2),
+        "device_resident_ms": round(device_ms, 2),
+    }))
+
+
 def main():
     train_mode = bool(os.environ.get("BENCH_TRAIN"))
+    serve_mode = bool(os.environ.get("BENCH_SERVE"))
     if not wait_for_backend():
         # one structured line the driver can record, not a traceback —
         # labeled with the metric the selected mode would have produced
-        print(json.dumps({"error": "tpu_unavailable",
-                          "metric": ("multitask_train_step_512x1024_b8_bf16"
-                                     if train_mode else
-                                     "multitask_inference_throughput_512x512"),
-                          "value": None, "unit": "images/sec/chip",
+        metric = ("multitask_train_step_512x1024_b8_bf16" if train_mode
+                  else "serving_latency_512x1024_b1" if serve_mode
+                  else "multitask_inference_throughput_512x512")
+        print(json.dumps({"error": "tpu_unavailable", "metric": metric,
+                          "value": None,
+                          "unit": "ms/call" if serve_mode else "images/sec/chip",
                           "vs_baseline": None}))
         return
 
     if train_mode:
         return bench_train()
+    if serve_mode:
+        return bench_serve()
 
     import jax
     import jax.numpy as jnp
