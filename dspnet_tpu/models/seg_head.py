@@ -118,12 +118,18 @@ class _ConcatConv3x3(nn.Module):
             c = s.shape[-1]
             k = jax.lax.slice_in_dim(kernel, off, off + c, axis=2)
             off += c
-            if not self.fast and s.shape[1:3] != tuple(grid_hw):
-                # exact-mode tap-split for EVERY upsampled stream: contract
-                # channels at native res, resize the 9f-channel result,
-                # combine with 9 shifted adds (see class docstring). Streams
-                # sharing a resolution are contracted together and pay ONE
-                # resize + shifted-add pass (sum of convs == conv of concat).
+            if not self.fast:
+                # exact-mode tap-split for EVERY stream: contract channels
+                # at native res, resize the 9f-channel result (identity for
+                # grid-res streams), combine with 9 shifted adds (see class
+                # docstring). Streams sharing a resolution are contracted
+                # together and pay ONE resize + shifted-add pass (sum of
+                # convs == conv of concat). Grid-res streams too: their
+                # direct 3x3 conv was the head's only 19-output-lane MXU op
+                # (109/128 lanes padding waste, reference op
+                # multitask_symbol_builder.py:312-318); as a 1x1 tap
+                # contraction the outputs are 9f=171 lanes (67% useful) at
+                # ~4.5x less padded MXU work.
                 split_groups.setdefault(s.shape[1:3], []).append((s, k))
                 continue
             y = jax.lax.conv_general_dilated(
@@ -131,7 +137,7 @@ class _ConcatConv3x3(nn.Module):
                 dimension_numbers=jax.lax.conv_dimension_numbers(
                     s.shape, k.shape, dn),
             )
-            if self.fast and y.shape[1:3] != tuple(grid_hw):
+            if y.shape[1:3] != tuple(grid_hw):
                 y = resize_bilinear_align_corners(y, grid_hw)
             # sum the partial outputs in f32 so bf16 mode accumulates like
             # the single nn.Conv this replaces (per-conv accumulation is f32
@@ -140,10 +146,19 @@ class _ConcatConv3x3(nn.Module):
             y = y.astype(jnp.float32)
             out = y if out is None else out + y
 
+        # ONE shifted-add pass for every group: the 9 tap shifts are linear
+        # in z, so sum the resized tap tensors first (f32) and shift once —
+        # each extra pass costs ~9 grid-res slice+add sweeps, the dominant
+        # HBM traffic of the exact head at large batch.
+        z_total = None
         for hw, group in split_groups.items():
             z = sum(self._tap_contract(s, k, acc_dtype) for s, k in group)
-            z = resize_bilinear_align_corners(z, grid_hw)
-            y = self._shifted_taps(z, f, grid_hw)
+            if tuple(hw) != tuple(grid_hw):
+                z = resize_bilinear_align_corners(z, grid_hw)
+            z = z.astype(jnp.float32)
+            z_total = z if z_total is None else z_total + z
+        if z_total is not None:
+            y = self._shifted_taps(z_total, f, grid_hw)
             out = y if out is None else out + y
         return out.astype(streams[0].dtype)
 
