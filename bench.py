@@ -124,13 +124,18 @@ def bench_serve():
 
     * ``sync_ms`` — one `predict_raw` (uint8 BGR H2D + on-device normalize
       + forward + full D2H) per call, materialized before the next call.
-      Tunnel-RTT-bound over axon (~47 ms measured round 2).
-    * ``pipelined_ms`` — ServingPipeline depth=2 (async dispatch, results
-      one window behind): each call's H2D/compute/D2H overlaps its
-      neighbors' (~16 ms sustained). The headline ``value``.
+      Tunnel-RTT-bound over axon: every np.asarray of a computed result is
+      a blocking ~30 ms round trip PER BUFFER (det + seg = two), on top of
+      exec (~100-160 ms measured r4; tunnel jitter is large).
+    * ``pipelined_ms`` — ServingPipeline depth=2 (async dispatch +
+      copy_to_host_async at submit, results one window behind): each
+      call's H2D/compute/D2H overlaps its neighbors'. ~47 ms r4 — the
+      measured floor of max(b1 exec ~13-23 ms, 1.5 MB frame H2D + D2H
+      stream over the tunnel); probed flat across depth 2/4/8 and drain
+      chunk 8/16 (docs/SERVING_NOTE.md). The headline ``value``.
     * ``device_resident_ms`` — forward only, input already on device
-      (~4 ms): the pure-compute floor the pipeline approaches on real
-      PCIe hosts.
+      (~13-23 ms across r4 runs): the pure-compute floor the pipeline
+      approaches on real PCIe hosts, where the transport terms vanish.
 
     Reference counterpart: the per-frame FPS print,
     /root/reference/detect/multitask_detector.py:454.

@@ -36,6 +36,20 @@ from dspnet_tpu.ops.detection import multibox_detection
 from dspnet_tpu.ops.nms import nms as cpu_nms
 
 
+def start_d2h(res: dict) -> None:
+    """Kick off async device->host copies for every result leaf.
+
+    On the axon tunnel ``np.asarray`` is a blocking ~30 ms round trip PER
+    BUFFER with no pipelining; ``copy_to_host_async`` lands the bytes in
+    the background so later materializations are near-free (measured
+    31.9 -> 5.3 ms per (400, 7) det buffer with a 10-deep window).
+    Best-effort: advisory API, skipped on non-array leaves."""
+    for v in res.values():
+        start = getattr(v, "copy_to_host_async", None)
+        if start is not None:
+            start()
+
+
 class Detector:
     def __init__(
         self,
@@ -168,6 +182,7 @@ class Detector:
         """Returns (list of per-image (n, 7) arrays with id >= 0 and
         score >= det_threshold, seg maps (B, H/4, W/4) or None)."""
         res = self.predict(images)
+        start_d2h(res)  # overlap det/seg transfers (one blocking RTT each)
         dets_out: List[np.ndarray] = []
         if "det" in res:
             det = np.asarray(res["det"])
@@ -184,6 +199,7 @@ class Detector:
         h, w = self.data_shape
         raw = cv2.resize(image, (w, h), interpolation=cv2.INTER_LINEAR)
         res = self.predict_raw(raw[None])  # uint8 H2D + on-device normalize
+        start_d2h(res)
         dets_out = np.zeros((0, 7), np.float32)
         if "det" in res:
             dets_out = self._filter_rows(np.asarray(res["det"])[0], det_threshold)
