@@ -247,6 +247,21 @@ class IoUMetric(EvalMetric):
             self.sum_metric[idx] += inter
             self.num_inst[idx] += total
 
+    def update_from_confusion(self, conf: np.ndarray):
+        """Equivalent of update() fed a (gt, pred)-indexed integer confusion
+        matrix covering every id either side can take (ids >= conf's extent
+        must not occur). Per class idx: inter = conf[idx, idx], total =
+        row + col - diag — identical integers to the per-pixel masks, so
+        this is bit-identical to update() on the same pixels (the TPU eval
+        loop accumulates conf on device and feeds it here once)."""
+        conf = np.asarray(conf, np.int64)
+        assert conf.shape[0] == conf.shape[1] and conf.shape[0] >= self.num
+        for idx in range(self.num):
+            inter = conf[idx, idx]
+            total = conf[idx, :].sum() + conf[:, idx].sum() - inter
+            self.sum_metric[idx] += inter
+            self.num_inst[idx] += total
+
     def get(self):
         self.sum_metric[-1] = np.mean(self.sum_metric[:-1] / (self.num_inst[:-1] + 1e-5))
         self.num_inst[-1] = 1.0
@@ -311,6 +326,14 @@ class CustomAccuracyMetric(EvalMetric):
             preds = np.argmax(preds, axis=-1)
         self.sum_metric += (preds.astype(np.int32).flat == labels.astype(np.int32).flat).sum()
         self.num_inst += labels.size
+
+    def update_from_confusion(self, conf: np.ndarray):
+        """update() from a (gt, pred)-indexed integer confusion matrix over
+        every id either side can take: matches = trace, total = conf.sum()
+        — bit-identical integers to the elementwise comparison."""
+        conf = np.asarray(conf, np.int64)
+        self.sum_metric += int(np.trace(conf))
+        self.num_inst += int(conf.sum())
 
     def get(self):
         return self.name, (self.sum_metric / self.num_inst if self.num_inst else float("nan"))

@@ -117,6 +117,41 @@ def test_confusion_matrix_jax_matches():
     np.testing.assert_array_equal(conf_np, np.asarray(conf_j))
 
 
+def test_update_from_confusion_bit_identical():
+    """The TPU eval loop feeds IoU/accuracy from an on-device confusion
+    matrix; the feeder must reproduce the per-pixel update() exactly —
+    including ignore-255 labels and negative no-label fills (which the loop
+    maps to the 255 bin)."""
+    import jax.numpy as jnp
+
+    from dspnet_tpu.evaluate.cityscapes_eval import NUM_IDS, add_to_confusion_matrix_jax
+
+    rng = np.random.RandomState(3)
+    labels = rng.randint(0, 19, (3, 16, 16)).astype(np.int32)
+    labels[0, :2] = 255  # ignore
+    labels[1, :1] = -1  # no-label fill
+    preds = rng.randint(0, 19, (3, 16, 16)).astype(np.int32)
+
+    names = [f"c{i}" for i in range(19)]
+    iou_host, acc_host = IoUMetric(names), CustomAccuracyMetric()
+    iou_host.update(labels, preds)
+    acc_host.update(labels, preds)
+
+    gt = jnp.where(jnp.asarray(labels) < 0, NUM_IDS - 1,
+                   jnp.minimum(jnp.asarray(labels), NUM_IDS - 1))
+    conf = add_to_confusion_matrix_jax(
+        jnp.asarray(preds), gt, jnp.zeros((NUM_IDS, NUM_IDS), jnp.int32))
+    iou_conf, acc_conf = IoUMetric(names), CustomAccuracyMetric()
+    iou_conf.update_from_confusion(np.asarray(conf))
+    acc_conf.update_from_confusion(np.asarray(conf))
+
+    np.testing.assert_array_equal(iou_host.sum_metric, iou_conf.sum_metric)
+    np.testing.assert_array_equal(iou_host.num_inst, iou_conf.num_inst)
+    assert acc_host.get()[1] == acc_conf.get()[1]
+    assert acc_host.sum_metric == acc_conf.sum_metric
+    assert acc_host.num_inst == acc_conf.num_inst
+
+
 def test_voc_eval_offline(tmp_path):
     from dspnet_tpu.evaluate.eval_voc import voc_eval
 
