@@ -78,9 +78,13 @@ def parse_args(argv=None):
     p.add_argument("--seg-normalize", default="null", choices=["null", "valid"])
     p.add_argument("--compute-dtype", default="float32", choices=["float32", "bfloat16"],
                    help="model compute precision (f32 master weights either way)")
-    p.add_argument("--loader", default="python", choices=["python", "native", "device"],
-                   help="input pipeline: pure python, the native C++ loader, or "
-                        "on-device augmentation (host decodes raw uint8 only)")
+    p.add_argument("--loader", default="python",
+                   choices=["python", "native", "device", "det"],
+                   help="input pipeline: pure python, the native C++ loader, "
+                        "on-device augmentation (host decodes raw uint8 only), "
+                        "or the plain-SSD DetIterator (IoU-constrained random "
+                        "crop/pad/mirror, VOC-style det-only training — "
+                        "reference dataset/iterator.py DetIter)")
     p.add_argument("--loader-threads", type=int, default=8)
     p.add_argument("--target-backend", default="auto",
                    choices=["auto", "xla", "pallas"],
@@ -159,6 +163,16 @@ def main(argv=None):
         )
         log.info("using on-device augmentation pipeline%s",
                  " (host predownscale)" if args.predownscale else "")
+    elif args.loader == "det":
+        from dspnet_tpu.data.det_iterator import DetIterator
+
+        assert bundle.task in ("ssd", "det"), \
+            "--loader det is the det-only SSD pipeline (no seg labels); " \
+            f"network task is '{bundle.task}'"
+        assert shard == (0, 1), "--loader det does not shard across processes"
+        train_iter = DetIterator(train_index, local_batch, (H, W),
+                                 is_train=True)
+        log.info("using plain-SSD DetIterator (crop/pad/mirror augmentation)")
     else:
         train_iter = MultiTaskIterator(train_index, local_batch, (H, W),
                                        enable_aug=True, shard=shard)

@@ -41,13 +41,21 @@ class DetIterator:
         is_train: bool = True,
         train_cfg=None,
         seed: int = 233,
+        label_col5: str = "zero",
     ):
+        """``label_col5``: 'zero' writes 0.0 into label column 5 (the dist
+        slot — plain-SSD training, the default); 'passthrough' carries the
+        sample's column 5 (the VOC eval path stores the difficult flag
+        there, data/imdb.py PascalVoc(difficult_in_label=True), which the
+        MApMetric labels contract expects)."""
+        assert label_col5 in ("zero", "passthrough"), label_col5
         self.index = index
         self.batch_size = batch_size
         self.data_shape = tuple(data_shape)
         self.mean_pixels = mean_pixels
         self.max_objects = max_objects
         self.is_train = is_train
+        self.label_col5 = label_col5
         self.cfg = train_cfg if train_cfg is not None else (
             default_cfg.train if is_train else default_cfg.valid
         )
@@ -66,6 +74,19 @@ class DetIterator:
         self.reset()
         while self.cursor < len(self.index):
             yield self.next_batch()
+
+    def epoch(self):
+        """Yield (batch, fnames) pairs like MultiTaskIterator.epoch — the
+        eval-loop contract. The final partial batch wraps to the epoch start
+        (this iterator's roll-over padding), so ``fnames`` lists only the
+        REAL tail samples and consumers slice outputs by ``len(fnames)``."""
+        self.reset()
+        n = len(self.index)
+        while self.cursor < n:
+            start = self.cursor
+            fnames = [self.index[int(self.order[i])].image_path
+                      for i in range(start, min(start + self.batch_size, n))]
+            yield self.next_batch(), fnames
 
     def _augment(self, img, label):
         """Crop/pad/mirror pipeline (iterator.py:249-297).
@@ -115,7 +136,7 @@ class DetIterator:
             # DetIter pads via getpad roll-over) so no sample is dropped
             s = self.index[int(self.order[self.cursor % len(self.index)])]
             img, _ = iterator_mod.load_sample_arrays(s, with_seg=False)
-            label = s.label[:, :5].copy()
+            label = s.label[:, :6].copy()
             if self.is_train:
                 img, label = self._augment(img, label)
                 interp = INTERP_METHODS[self.rng.randint(len(INTERP_METHODS))] \
@@ -125,7 +146,8 @@ class DetIterator:
             img = cv2.resize(img, (W, H), interpolation=interp)
             images[b] = aug.normalize_image(img, self.mean_pixels)
             valid = label[label[:, 0] >= 0][: self.max_objects]
-            labels[b, : valid.shape[0], :5] = valid
-            labels[b, : valid.shape[0], 5] = 0.0
+            labels[b, : valid.shape[0], :5] = valid[:, :5]
+            labels[b, : valid.shape[0], 5] = (
+                valid[:, 5] if self.label_col5 == "passthrough" else 0.0)
             self.cursor += 1
         return {"images": images, "label_det": labels}

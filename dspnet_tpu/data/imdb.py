@@ -143,12 +143,22 @@ class PascalVoc(Imdb):
     """VOCdevkit layout: {root}/VOC{year}/{JPEGImages,Annotations,ImageSets}."""
 
     def __init__(self, image_set: str, year: str, root: str,
-                 classes: Sequence[str] = VOC_CLASSES, use_difficult: bool = False):
+                 classes: Sequence[str] = VOC_CLASSES, use_difficult: bool = False,
+                 difficult_in_label: bool = False):
+        """``use_difficult``: TRAIN-side filter — when False, difficult
+        objects are dropped from the labels (reference pascal_voc.py
+        config['use_difficult']). ``difficult_in_label``: EVAL-side layout —
+        keep every object and carry its difficult flag in label column 5
+        (the dist column, always 0 for VOC), which is exactly the
+        ``(n, >=6)`` labels-with-difficult contract of
+        evaluate.eval_metric.MApMetric (the streaming metric decides with
+        its own use_difficult switch, reference eval_metric.py:100-104)."""
         super().__init__(f"voc_{year}_{image_set}", classes)
         self.root = os.path.join(root, f"VOC{year}")
         self.year = year
         self.image_set = image_set
         self.use_difficult = use_difficult
+        self.difficult_in_label = difficult_in_label
 
     def split_ids(self) -> List[str]:
         lst = os.path.join(self.root, "ImageSets", "Main", self.image_set + ".txt")
@@ -161,6 +171,13 @@ class PascalVoc(Imdb):
             xml = os.path.join(self.root, "Annotations", iid + ".xml")
             img = os.path.join(self.root, "JPEGImages", iid + ".jpg")
             rows = _parse_voc_xml(xml, self.classes, with_distance=False)
+            if self.difficult_in_label:
+                if rows.size:  # difficult flag -> column 5
+                    rows = np.concatenate([rows[:, :5], rows[:, 6:7]], axis=1)
+                else:
+                    rows = rows[:, :6]
+                out.append(Sample(img, SampleIndex.pad_label(rows)))
+                continue
             if not self.use_difficult and rows.size:
                 rows = rows[rows[:, 6] < 1]
             out.append(Sample(img, SampleIndex.pad_label(rows[:, :6])))
@@ -407,5 +424,18 @@ def load_index(root: str, split: str) -> SampleIndex:
     if os.path.exists(os.path.join(root, "ImageSets", "Main", split + ".txt")):
         if os.path.isdir(os.path.join(root, "SegmentationClass")):
             return CityscapesDetSeg(split, root).index()
-        return PascalVoc(split, "", root).index()
+        # VOC layout rooted HERE: root is .../VOC{year} itself — PascalVoc
+        # joins root+VOC{year}, so hand it the parent (the old
+        # PascalVoc(split, "", root) fallback silently required a root/VOC
+        # nesting that contradicted the ImageSets check above)
+        head, tail = os.path.split(os.path.abspath(root).rstrip(os.sep))
+        if tail.startswith("VOC"):
+            return PascalVoc(split, tail[3:], head).index()
+    # devkit root: a VOC{year}/ child holding the split (synthetic.
+    # build_voc_dataset writes this layout; so does the real VOCdevkit)
+    if os.path.isdir(root):
+        for d in sorted(os.listdir(root)):
+            if d.startswith("VOC") and os.path.exists(
+                    os.path.join(root, d, "ImageSets", "Main", split + ".txt")):
+                return PascalVoc(split, d[3:], root).index()
     raise FileNotFoundError(f"no recognizable dataset at {root} (split {split})")

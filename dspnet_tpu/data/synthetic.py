@@ -175,3 +175,59 @@ def build_dataset(
 
 def class_names():
     return list(DET_CLASSES)
+
+
+def build_voc_dataset(
+    root: str,
+    num_samples: int = 8,
+    hw: Tuple[int, int] = (96, 96),
+    max_objects: int = 4,
+    seed: int = 233,
+    year: str = "",
+    splits=("train", "val"),
+    difficult_frac: float = 0.2,
+) -> str:
+    """Write a synthetic PASCAL-VOC devkit tree under ``root`` and return
+    the devkit root (== ``root``).
+
+    Layout: ``{root}/VOC{year}/{JPEGImages,Annotations,ImageSets/Main}`` —
+    what data.imdb.PascalVoc (and load_index's VOC fallback at year='')
+    consumes. Scenes come from :func:`make_example` (boxes painted with
+    distinctive per-class colors, a learnable signal); object names are the
+    8 Cityscapes det classes (names are arbitrary strings to the VOC
+    tooling — pass the same list as --class-names). ``difficult_frac`` of
+    the objects per split are marked ``<difficult>1</difficult>`` so the
+    use_difficult metric paths are exercised.
+    """
+    H, W = hw
+    base = os.path.join(root, f"VOC{year}")
+    os.makedirs(os.path.join(base, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(base, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(base, "ImageSets", "Main"), exist_ok=True)
+    rng = np.random.RandomState(seed)
+    for si, split in enumerate(splits):
+        ids = []
+        for i in range(num_samples):
+            iid = f"{split}_{i:04d}"
+            ids.append(iid)
+            img, label, _, _ = make_example(rng, hw, rng.randint(1, max_objects + 1))
+            cv2.imwrite(os.path.join(base, "JPEGImages", iid + ".jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 95])
+            objs = []
+            for row in label:
+                cid = int(row[0])
+                difficult = int(rng.rand() < difficult_frac)
+                objs.append(
+                    "<object><name>{}</name><difficult>{}</difficult>"
+                    "<bndbox><xmin>{}</xmin><ymin>{}</ymin>"
+                    "<xmax>{}</xmax><ymax>{}</ymax></bndbox></object>".format(
+                        DET_CLASSES[cid], difficult,
+                        int(row[1] * W), int(row[2] * H),
+                        int(row[3] * W), int(row[4] * H)))
+            with open(os.path.join(base, "Annotations", iid + ".xml"), "w") as f:
+                f.write("<annotation><size><width>{}</width><height>{}"
+                        "</height><depth>3</depth></size>{}</annotation>"
+                        .format(W, H, "".join(objs)))
+        with open(os.path.join(base, "ImageSets", "Main", split + ".txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return root
