@@ -118,6 +118,30 @@ def conv(x, features, kernel, stride=1, pad="same_explicit", use_bias=True, name
     )(x)
 
 
+@jax.custom_vjp
+def _batch_mean_cotangent_port(z):
+    """Constant zeros of shape [1, *z.shape[1:]] "attached" to ``z``.
+
+    Forward is a literal zeros constant (free — XLA folds every consumer of
+    it out of the forward graph). Backward routes the port's cotangent g
+    back to ``z`` as g / B broadcast over the batch: per-sample values are
+    the batch MEAN of the true cotangent, so any consumer of z's gradient
+    that only uses batch-sums (per h, w, c) sees EXACT values. Used by
+    SpaceToDepthConv(sum_batch_cotangent=True)."""
+    return jnp.zeros((1,) + z.shape[1:], z.dtype)
+
+
+def _port_fwd(z):
+    return _batch_mean_cotangent_port(z), z.shape[0]
+
+
+def _port_bwd(batch, g):
+    return (jnp.broadcast_to(g / batch, (batch,) + g.shape[1:]),)
+
+
+_batch_mean_cotangent_port.defvjp(_port_fwd, _port_bwd)
+
+
 class SpaceToDepthConv(nn.Module):
     """7x7 stride-2 pad-3 stem conv, computed as a 4x4 stride-1 conv over
     the 2x2 space-to-depth transform of the input.
@@ -136,7 +160,20 @@ class SpaceToDepthConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, sum_batch_cotangent: bool = False):
+        """``sum_batch_cotangent=True`` reroutes the backward input-gradient
+        through a batch-1 dgrad conv of the batch-summed output cotangent.
+        Value-identical forward; the input cotangent becomes the per-sample
+        batch MEAN (sum-preserving per (h, w, c)), so it is EXACT whenever
+        every parameter gradient upstream of ``x`` consumes only batch-sums
+        of it — true for the resnet stem, where ``x`` is a fix_gamma
+        BatchNorm of the (non-differentiated) input image and the only
+        upstream param is bn_data's beta (grad = sum over b,h,w of the
+        cotangent). Why: XLA's full dgrad conv here has 12 output channels
+        (109/128 lanes padded) and ran at ~5% MXU efficiency, 2.8 ms of the
+        b8 512x1024 train step — only to be batch+space-summed into a
+        3-channel beta grad. Only set this under a trainable graph that
+        satisfies the batch-sum condition."""
         b, h, w, c = x.shape
         kernel = self.param(
             "kernel",
@@ -144,11 +181,30 @@ class SpaceToDepthConv(nn.Module):
             (7, 7, c, self.features),
         )
         k = kernel.astype(x.dtype)
-        if h % 2 or w % 2:  # odd input: the s2d reindexing needs even dims
+
+        def apply_conv(z, kz, stride, pad):
             dn = jax.lax.conv_dimension_numbers(
-                x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+                z.shape, kz.shape, ("NHWC", "HWIO", "NHWC"))
             return jax.lax.conv_general_dilated(
-                x, k, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+                z, kz, stride, pad, dimension_numbers=dn)
+
+        def conv_sum_cotangent(z, kz, stride, pad):
+            if not sum_batch_cotangent or z.shape[0] <= 1:
+                return apply_conv(z, kz, stride, pad)
+            zs = jax.lax.stop_gradient(z)
+            # _batch_mean_cotangent_port: constant-zero [1,h,w,c] forward
+            # (XLA folds the whole port branch out of the forward graph),
+            # whose cotangent returns to z as g/B per sample (sum-preserving)
+            z1 = _batch_mean_cotangent_port(z)
+            y = apply_conv(zs, kz, stride, pad)  # wgrad path: exact (value z)
+            # dgrad path: batch-1 conv of the batch-summed cotangent (the
+            # kernel grad of this branch is exactly 0 — input value is 0 —
+            # so stop it instead of paying a second wgrad conv)
+            y1 = apply_conv(z1, jax.lax.stop_gradient(kz), stride, pad)
+            return y + jnp.broadcast_to(y1, y.shape)
+
+        if h % 2 or w % 2:  # odd input: the s2d reindexing needs even dims
+            return conv_sum_cotangent(x, k, (2, 2), ((3, 3), (3, 3)))
         # kernel: pad ky,kx 7->8 at the front, then split each into
         # (offset, parity); channel order (di, dj, c) matches the s2d below
         kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
@@ -156,10 +212,7 @@ class SpaceToDepthConv(nn.Module):
             0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
         x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
             0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        dn = jax.lax.conv_dimension_numbers(
-            x2.shape, k4.shape, ("NHWC", "HWIO", "NHWC"))
-        return jax.lax.conv_general_dilated(
-            x2, k4, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
+        return conv_sum_cotangent(x2, k4, (1, 1), ((2, 1), (2, 1)))
 
 
 class ConvAct(nn.Module):

@@ -99,8 +99,13 @@ class ResNet(nn.Module):
 
         x = BatchNorm(fix_gamma=True, name="bn_data")(x, train)
         # 7x7/2 stem as a space-to-depth 4x4/1 conv (same math + param
-        # layout, much faster backward on TPU) — see layers.SpaceToDepthConv
-        x = SpaceToDepthConv(filter_list[0], name="conv0")(x)
+        # layout, much faster backward on TPU) — see layers.SpaceToDepthConv.
+        # sum_batch_cotangent: the only param upstream of conv0 is bn_data's
+        # beta (fix_gamma, image input), whose grad is a batch-sum — so the
+        # stem's input dgrad can run as ONE batch-1 conv (exact; ~2.8 ms of
+        # the b8 512x1024 step otherwise)
+        x = SpaceToDepthConv(filter_list[0], name="conv0")(
+            x, sum_batch_cotangent=train)
         x = nn.relu(BatchNorm(name="bn0")(x, train))
         x = max_pool(x, 3, 2, 1)
 

@@ -187,15 +187,24 @@ def _target_single(
     positive &= has_gt
     negative &= has_gt
 
-    matched_cls = jnp.take(labels[:, 0], final_gt, axis=0)
+    # matched-GT row lookup as a one-hot MXU contraction instead of three
+    # row gathers: final_gt is always in [0, M), and 1.0*v summed with
+    # zeros is exact in f32, so this is bit-identical to jnp.take — but the
+    # (A, M) @ (M, 6) dot rides the MXU while TPU gathers of (A,) rows ran
+    # ~0.7 ms each in the b8 train step (one-hot generation fuses into the
+    # dot operand; backward is a dot with the one-hot transposed, scatter-free)
+    oh = (final_gt[:, None] == jnp.arange(labels.shape[0])[None, :]).astype(
+        labels.dtype)
+    matched = oh @ labels  # (A, 6)
+    matched_cls = matched[:, 0]
     cls_target = jnp.where(
         positive,
         matched_cls + 1.0,
         jnp.where(negative, 0.0, ignore_label),
     )
 
-    matched_boxes = jnp.take(labels[:, 1:5], final_gt, axis=0)
-    matched_dist = jnp.take(labels[:, 5], final_gt, axis=0)
+    matched_boxes = matched[:, 1:5]
+    matched_dist = matched[:, 5]
     loc_target = box_ops.encode_targets(anchors, matched_boxes, matched_dist, variances)
     loc_mask = jnp.where(positive[:, None], 1.0, 0.0) * jnp.ones((1, 5), loc_target.dtype)
     loc_target = loc_target * loc_mask

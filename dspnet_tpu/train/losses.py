@@ -61,18 +61,42 @@ def loc_loss_valid(loc_preds, loc_target, loc_mask):
     return jnp.sum(elems) / jnp.maximum(nonzero, 1), jnp.sum(elems)
 
 
-def seg_loss(seg_logits, seg_labels, grad_scale: float = 4.0, normalize: str = "null"):
-    """(B, H, W, C) logits vs (B, H, W) int labels with ignore 255."""
+def seg_loss_and_accuracy(seg_logits, seg_labels, grad_scale: float = 4.0,
+                          normalize: str = "null"):
+    """(B, H, W, C) logits vs (B, H, W) int labels with ignore 255.
+
+    Returns (loss, correct_count, valid_count). CE and the monitoring
+    accuracy share ONE pass over the lane-padded (C=19 of 128) logits: a
+    pixel counts as correct iff its label's logit EQUALS the lane max
+    (``picked == 0`` on the max-shifted logits — exact, bf16 subtraction
+    of distinct values never rounds to 0). This is tie-LENIENT vs
+    jnp.argmax's first-occurrence rule: on an exact multi-lane tie that
+    includes the label it counts correct where argmax may not — identical
+    in the absence of ties, and a monitoring-only metric (eval accuracy
+    comes from the real argmax in the detector path). Why: XLA's variadic
+    (max, index) argmax lane reduce ran ~1.4 ms/step on v5e, and even a
+    min-iota-where reformulation paid ~1.0 ms for this metric alone.
+    Per-pixel CE is bit-identical to -sum(log_softmax * one_hot):
+    lse - shifted[t] rounds exactly like -(shifted[t] - lse)."""
     valid = seg_labels != SEG_IGNORE
     tgt = jnp.where(valid, seg_labels, 0).astype(jnp.int32)
-    logp = jax.nn.log_softmax(seg_logits, axis=-1)
-    oh = jax.nn.one_hot(tgt, logp.shape[-1], dtype=logp.dtype)
-    ce = -jnp.sum(logp * oh, axis=-1)
-    ce = jnp.where(valid, ce, 0.0)
+    c = seg_logits.shape[-1]
+    m = jnp.max(jax.lax.stop_gradient(seg_logits), axis=-1, keepdims=True)
+    shifted = seg_logits - m
+    lse = jnp.log(jnp.sum(jnp.exp(shifted), axis=-1))
+    oh = jax.nn.one_hot(tgt, c, dtype=seg_logits.dtype)
+    picked = jnp.sum(shifted * oh, axis=-1)
+    ce = jnp.where(valid, lse - picked, 0.0)
     total = jnp.sum(ce)
     if normalize == "valid":
         total = total / jnp.maximum(jnp.sum(valid), 1)
-    return grad_scale * total
+    correct = jnp.sum(valid & (jax.lax.stop_gradient(picked) == 0.0))
+    return grad_scale * total, correct, jnp.sum(valid)
+
+
+def seg_loss(seg_logits, seg_labels, grad_scale: float = 4.0, normalize: str = "null"):
+    """(B, H, W, C) logits vs (B, H, W) int labels with ignore 255."""
+    return seg_loss_and_accuracy(seg_logits, seg_labels, grad_scale, normalize)[0]
 
 
 def multitask_loss(
@@ -102,12 +126,10 @@ def multitask_loss(
         metrics["smooth_l1"] = loc_sum / jnp.maximum(valid_count, 1)
         metrics["valid_anchors"] = valid_count
     if seg_labels is not None and "seg_logits" in outputs:
-        s = seg_loss(outputs["seg_logits"], seg_labels, seg_grad_scale, seg_normalize)
+        s, correct, valid_px = seg_loss_and_accuracy(
+            outputs["seg_logits"], seg_labels, seg_grad_scale, seg_normalize)
         total = total + s
         metrics["seg_loss"] = s
-        pred = jnp.argmax(outputs["seg_logits"], axis=-1)
-        valid = seg_labels != SEG_IGNORE
-        correct = jnp.sum(jnp.where(valid, pred == seg_labels, False))
-        metrics["seg_accuracy"] = correct / jnp.maximum(jnp.sum(valid), 1)
+        metrics["seg_accuracy"] = correct / jnp.maximum(valid_px, 1)
     metrics["loss"] = total
     return total, metrics

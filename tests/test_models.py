@@ -252,6 +252,54 @@ def test_space_to_depth_conv_matches_plain_conv():
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_space_to_depth_sum_batch_cotangent_exact():
+    """sum_batch_cotangent reroutes the stem's input dgrad through a batch-1
+    conv of the batch-summed cotangent. In the stem graph it serves —
+    fix_gamma bn_data over a non-differentiated image, then conv0 — every
+    param grad (bn beta, conv kernel) must be EXACT vs the plain path, and
+    the forward value identical, on even and odd input sizes."""
+    from flax import linen as fnn
+
+    from dspnet_tpu.models.layers import BatchNorm, SpaceToDepthConv
+
+    class Stem(fnn.Module):
+        fast_grad: bool
+
+        @fnn.compact
+        def __call__(self, x):
+            x = BatchNorm(fix_gamma=True, name="bn_data")(x, train=True)
+            return SpaceToDepthConv(16, name="conv0")(
+                x, sum_batch_cotangent=self.fast_grad)
+
+    rng = jax.random.PRNGKey(7)
+    for hw in ((32, 48), (31, 47)):
+        x = jax.random.normal(rng, (4, hw[0], hw[1], 3), jnp.float32)
+        v = Stem(fast_grad=False).init(rng, x)
+        y0 = Stem(fast_grad=False).apply(
+            {"params": v["params"], "batch_stats": v["batch_stats"]}, x,
+            mutable=["batch_stats"])[0]
+        w = jax.random.normal(jax.random.PRNGKey(8), y0.shape)
+
+        def loss(params, fast):
+            y, _ = Stem(fast_grad=fast).apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, x,
+                mutable=["batch_stats"])
+            return jnp.sum(y * w)
+
+        l0, g0 = jax.value_and_grad(loss)(v["params"], False)
+        l1, g1 = jax.value_and_grad(loss)(v["params"], True)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        # identical in exact arithmetic; the reroute reassociates the batch
+        # sum (before the conv instead of after), so allow f32 rounding
+        np.testing.assert_allclose(
+            np.asarray(g0["bn_data"]["BatchNorm_0"]["bias"]),
+            np.asarray(g1["bn_data"]["BatchNorm_0"]["bias"]),
+            rtol=5e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g0["conv0"]["kernel"]),
+            np.asarray(g1["conv0"]["kernel"]), rtol=5e-5, atol=1e-5)
+
+
 def test_concat_conv_tap_split_upsampled_stream():
     """Exact-mode tap-split (1x1-contract at native res -> resize -> 9
     shifted adds, same-resolution streams grouped) must equal
