@@ -119,6 +119,12 @@ def bipartite_match_pallas(iou, col_valid, interpret: bool = False):
     w = jnp.pad(w, ((0, 0), (0, a_pad - A), (0, l_pad - L)), constant_values=-1.0)
     rows = a_pad // 128
 
+    # The IoU working matrix lives in one VMEM scratch; at vgg@512 anchor
+    # counts (A=24576, l_pad=256 -> 25.2 MB) it exceeds Mosaic's default
+    # 16 MB scoped-VMEM limit, so size the limit to the actual footprint
+    # (v5e has 128 MB VMEM; found by the r4 preset smoke, vgg16_reduced@512).
+    vmem_bytes = (a_pad * l_pad + 3 * rows * 128) * 4 + (1 << 22)
+
     kernel = functools.partial(_match_kernel, a_pad=a_pad, l_pad=l_pad, chunk=chunk)
     gt_packed, iou_packed = pl.pallas_call(
         kernel,
@@ -137,6 +143,9 @@ def bipartite_match_pallas(iou, col_valid, interpret: bool = False):
             pltpu.VMEM((rows, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(vmem_bytes, 16 * 2**20)
+        ),
         interpret=interpret,
     )(w)
     match_gt = gt_packed.reshape(B, a_pad)[:, :A].astype(jnp.int32)

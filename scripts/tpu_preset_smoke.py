@@ -27,10 +27,12 @@ GRID = [
     ("vgg16_reduced", (300, 300), 32, 4),        # plain SSD 300
     ("vgg16_reduced", (512, 512), 32, 4),        # plain SSD 512
     ("legacy_vgg16_ssd", (512, 512), 32, 4),     # legacy 4x4-conv12_2 config
-    ("inceptionv3_multi", (512, 1024), 16, 4),
     ("inceptionv3", (512, 512), 32, 4),
-    ("resnet-101_multi", (512, 1024), 16, 4),
-    ("resnet-101", (512, 512), 32, 4),
+    ("resnet101", (512, 512), 32, 4),            # reference spelling, factory.py:144
+    # NOT smoked: inceptionv3_multi / resnet101_multi — the multitask heads
+    # require the 3-tap resnet presets, matching the reference's seg/multi
+    # builders indexing from_layers[0:3] (multitask_symbol_builder.py:498-500);
+    # these presets are 2-tap in both repos and raise NotImplementedError.
 ]
 
 

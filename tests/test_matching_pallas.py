@@ -35,6 +35,32 @@ def test_pallas_matching_matches_xla(rng, num_gt):
         np.testing.assert_allclose(np.asarray(got_iou[b]), np.asarray(want_iou), rtol=1e-6)
 
 
+def test_pallas_matching_vgg512_anchor_scale(rng):
+    """A=24576 (the vgg@512 anchor count): the kernel's VMEM working set is
+    25.2 MB there, past Mosaic's default 16 MB scoped-VMEM limit — the r4
+    preset smoke caught the compile failure on v5e, fixed by sizing
+    vmem_limit_bytes to the footprint. Interpret mode can't reproduce the
+    VMEM limit, but this pins the large-A padding/chunking semantics."""
+    B, A, L, num_gt = 1, 24576, 200, 9
+    cx = rng.uniform(0.1, 0.9, (B, A)); cy = rng.uniform(0.1, 0.9, (B, A))
+    w = rng.uniform(0.05, 0.3, (B, A)); h = rng.uniform(0.05, 0.3, (B, A))
+    anchors = np.stack([cx - w/2, cy - h/2, cx + w/2, cy + h/2], -1).astype(np.float32)
+    gx = rng.uniform(0.1, 0.9, (B, L)); gy = rng.uniform(0.1, 0.9, (B, L))
+    gw = rng.uniform(0.05, 0.3, (B, L)); gh = rng.uniform(0.05, 0.3, (B, L))
+    gts = np.stack([gx - gw/2, gy - gh/2, gx + gw/2, gy + gh/2], -1).astype(np.float32)
+    col_valid = np.zeros((B, L), bool)
+    col_valid[:, :num_gt] = True
+
+    iou = jax.vmap(box_ops.iou_matrix)(jnp.asarray(anchors), jnp.asarray(gts))
+    got_m, got_gt, got_iou = bipartite_match_pallas(
+        iou, jnp.asarray(col_valid), interpret=True
+    )
+    want_m, want_gt, want_iou, _ = _bipartite_match(iou[0], jnp.asarray(col_valid[0]))
+    np.testing.assert_array_equal(np.asarray(got_m[0]), np.asarray(want_m))
+    np.testing.assert_array_equal(np.asarray(got_gt[0]), np.asarray(want_gt))
+    np.testing.assert_allclose(np.asarray(got_iou[0]), np.asarray(want_iou), rtol=1e-6)
+
+
 def test_multibox_target_pallas_backend(rng):
     """Full multibox_target equivalence: bipartite_backend pallas vs xla."""
     from dspnet_tpu.ops.target import multibox_target
