@@ -237,11 +237,14 @@ def main():
     H = W = 512
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     on_tpu = jax.devices()[0].platform != "cpu"
+    from dspnet_tpu.utils.warmup import prime_d2h_async
+
+    prime_d2h_async()  # overlap axon's first-D2H stall with the compiles
     seg_fast = not os.environ.get("BENCH_SEG_EXACT")
     bundle = create_model("resnet-50_multi", (H, W), num_classes=8,
                           seg_fast=seg_fast)
     model = bundle.model
-    anchors = jnp.asarray(bundle.anchors)
+    anchors = bundle.anchors  # numpy f32 — device constants stall axon lowering
 
     images = jax.random.normal(jax.random.PRNGKey(0), (batch, H, W, 3), jnp.float32)
     variables = jax.jit(lambda r, x: model.init(r, x, train=False))(

@@ -177,7 +177,11 @@ class DeviceAugIterator:
         self.apply_seg_lut = apply_seg_lut
         self.shuffle = shuffle
         self.rng = np.random.RandomState(seed)
-        self.lut = jnp.asarray(seg_label_lut().astype(np.int32))
+        # numpy by convention (device arrays held on self risk becoming
+        # closure constants, which stall axon lowering —
+        # docs/LOWERING_NOTE.md); it is a traced ARGUMENT of the jitted
+        # device_augment_batch, so it rides along with the batch H2D (1 KB)
+        self.lut = seg_label_lut().astype(np.int32)
         self.num_samples = len(index)
         self.positions = shard_positions(self.num_samples, shard)
         self.order = np.arange(self.num_samples)

@@ -75,11 +75,20 @@ class Detector:
         softmax as ``seg_prob`` — needed only by the Cityscapes result-PNG
         writer, and ~20x more device->host bytes than the argmax map, so
         off by default."""
+        from dspnet_tpu.utils.warmup import prime_d2h_async
+
+        prime_d2h_async()  # overlap axon's first-D2H stall with compile
         self.model = model
         self.variables = variables
         self.mesh = mesh
         self.seg_probabilities = seg_probabilities
-        self.anchors = jnp.asarray(anchors, jnp.float32)
+        # Trace-time NUMPY constant, never a device array: a device-resident
+        # jax.Array closed over the jitted fn is fetched host-side during
+        # lowering (mlir.ir_constant -> array._value), and the FIRST
+        # device->host readback of an axon process stalls 90-580 s
+        # (docs/LOWERING_NOTE.md) — numpy constants embed without touching
+        # the device.
+        self.anchors = np.asarray(anchors, np.float32)
         self.data_shape = tuple(data_shape)
         self.mean_pixels = mean_pixels
         self.classes = list(classes) if classes else None

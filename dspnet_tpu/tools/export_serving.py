@@ -38,7 +38,10 @@ def build_serve_fn(bundle, variables, nms_thresh=0.45,
     from dspnet_tpu.ops.detection import multibox_detection
 
     model = bundle.model
-    anchors = None if bundle.anchors is None else jnp.asarray(bundle.anchors)
+    # numpy, not jnp: a device-resident closure constant forces a
+    # device->host fetch at lowering (first-D2H stall on axon —
+    # docs/LOWERING_NOTE.md)
+    anchors = bundle.anchors
 
     def serve(raw_bgr):
         x = raw_bgr[..., ::-1].astype(jnp.float32) - jnp.asarray(

@@ -98,8 +98,13 @@ class MultiTaskSolver:
         target_backend: str = "auto",
         grad_accum: int = 1,
     ):
+        from dspnet_tpu.utils.warmup import prime_d2h_async
+
+        prime_d2h_async()  # overlap axon's first-D2H stall with compile
         self.model = model
-        self.anchors = jnp.asarray(anchors, jnp.float32)
+        # numpy, not jnp: device-resident closure constants stall lowering
+        # on axon (first-D2H readback, docs/LOWERING_NOTE.md)
+        self.anchors = np.asarray(anchors, np.float32)
         self.mesh = mesh
         self.spatial = spatial  # shard image width over the 'model' mesh axis
         self.freeze_pattern = freeze_pattern
@@ -345,7 +350,7 @@ class MultiTaskSolver:
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        return Detector(self.model, variables, np.asarray(self.anchors), data_shape, **kwargs)
+        return Detector(self.model, variables, self.anchors, data_shape, **kwargs)
 
     @staticmethod
     def detector_variables(state: TrainState):

@@ -2,9 +2,17 @@
 item 7: ~8.6 min on the axon backend vs 0.9 s CPU lowering of the same
 graph — a 575x host-side blow-up with no obvious cause).
 
+RESOLVED (docs/LOWERING_NOTE.md): lowering was never slow — the first
+cell's .lower() embedded a device-resident anchors jax.Array as an MLIR
+constant (ir_constant -> array._value), and the FIRST device->host
+readback of an axon process stalls 90-580 s (all later fetches are ms).
+With numpy anchors every cell lowers in <2 s on axon. This script is
+kept as the regression guard: any cell over a few seconds means a
+device-resident constant crept back into a jitted closure.
+
 Times jax.jit(...).lower(...) — NOT compile — for a grid of configs:
 batch size x seg head (exact / fast / none) x NMS backend, printing one
-line per cell as it completes (flush=True; some cells take minutes).
+line per cell as it completes (flush=True).
 
 Usage: python scripts/diagnose_lowering.py [quick]
   quick: only the b32 cells (a first signal in ~1 min).
@@ -29,13 +37,16 @@ def build(batch, seg, nms_backend):
     bundle = create_model("resnet-50_multi" if seg != "none" else "resnet-50_det",
                           (H, W), num_classes=8, seg_fast=(seg == "fast"))
     model = bundle.model
-    anchors = jnp.asarray(bundle.anchors)
-    images = jnp.zeros((batch, H, W, 3), jnp.float32)
+    anchors = bundle.anchors  # numpy f32 — device constants stall axon lowering
+    # .lower() takes ShapeDtypeStructs — NO device buffers. Materializing
+    # the variables tree with an un-jitted tree.map(jnp.zeros) on axon is
+    # itself hundreds of tiny remote dispatches (minutes — the un-jitted
+    # model.init anti-pattern, CLAUDE.md), which would contaminate the
+    # lowering timings this script exists to isolate.
+    images = jax.ShapeDtypeStruct((batch, H, W, 3), jnp.float32)
     variables = jax.eval_shape(
         lambda r, x: model.init(r, x, train=False),
-        jax.random.PRNGKey(0), images[:1])
-    variables = jax.tree.map(
-        lambda s: jnp.zeros(s.shape, s.dtype), variables)
+        jax.random.PRNGKey(0), jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32))
 
     def forward(variables, images):
         out = model.apply(variables, images.astype(jnp.bfloat16), train=False)

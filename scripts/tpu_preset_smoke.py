@@ -46,7 +46,7 @@ def smoke(network, hw, infer_b, train_b):
     H, W = hw
     on_tpu = jax.devices()[0].platform != "cpu"
     bundle = create_model(network, (H, W), num_classes=8)
-    anchors = jnp.asarray(bundle.anchors)
+    anchors = bundle.anchors  # numpy f32 — device constants stall axon lowering
 
     # --- inference (bf16 weights, full decode+NMS like bench.py)
     variables = jax.jit(lambda r, x: bundle.model.init(r, x, train=False))(
