@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--loader", default="python",
                    choices=["python", "native", "device"],
                    help="val input pipeline: host cv2 or on-device resize/normalize")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="async predict dispatch window in evaluate_model "
+                        "(deeper overlaps more H2D/compute at the cost of "
+                        "holding more batches in flight)")
     p.add_argument("--random-init", action="store_true",
                    help="skip checkpoint load (pipeline smoke testing)")
     args = p.parse_args(argv)
@@ -129,6 +133,7 @@ def main(argv=None):
         dist_errors_path=args.dist_errors or None,
         instance_eval=args.instance_eval,
         log_fn=log.info,
+        pipeline_depth=args.pipeline_depth,
     )
 
 
