@@ -7,7 +7,7 @@ head + on-device decode+NMS + seg argmax) on the attached TPU.
 Serving configuration: bfloat16 weights/activations on the MXU (box decode,
 NMS, and softmax stay float32), Pallas fused-NMS backend, seg_fast head
 (score conv at native stream resolutions — dspnet_tpu/models/seg_head.py;
-~1700 img/s vs 1653 reference-exact at b128 on v5e; set BENCH_SEG_EXACT=1
+~1700 img/s vs 1672 reference-exact at b128 on v5e; set BENCH_SEG_EXACT=1
 for the reference-exact head). Default batch 128 maximizes throughput/chip;
 pass a smaller batch as argv[1] for latency-oriented serving.
 BENCH_TRAIN=1 switches to the canonical train-step benchmark (bench_train);

@@ -61,9 +61,13 @@ class _ConcatConv3x3(nn.Module):
     head's dominant stream), and no upsampled stream pays a grid-res 3x3.
     Streams sharing a native resolution (the identity-pool branch and the
     top feature, both H/32) are contracted together and share one
-    resize + shifted-add pass. Contractions run in f32 while training
-    (grad fidelity) and in the serving dtype at inference; the shifted
-    adds always accumulate in f32, like the MXU conv accumulator."""
+    resize + shifted-add pass. Contractions, resizes and the shifted adds
+    run in f32 while training (grad fidelity, conv-accumulator-like
+    summation) and in the serving dtype at inference — the pad + 9
+    slice/add sweep over the grid-res 9f-channel tensor is the head's
+    dominant HBM traffic, and serving in bf16 halves its bytes; the
+    9-term reassociation error (~2^-8 relative) is below the bf16
+    quantization the streams already carry."""
 
     features: int
     fast: bool = False
@@ -82,9 +86,10 @@ class _ConcatConv3x3(nn.Module):
 
     @staticmethod
     def _shifted_taps(z, f, grid_hw):
-        """Sum the 9 resized tap channels with their spatial shifts (f32)."""
+        """Sum the 9 resized tap channels with their spatial shifts, in
+        z's dtype (f32 in training, serving dtype at inference)."""
         th, tw = int(grid_hw[0]), int(grid_hw[1])
-        zp = jnp.pad(z.astype(jnp.float32), ((0, 0), (1, 1), (1, 1), (0, 0)))
+        zp = jnp.pad(z, ((0, 0), (1, 1), (1, 1), (0, 0)))
         out = None
         for t in range(9):
             dy, dx = t // 3, t % 3
@@ -104,11 +109,11 @@ class _ConcatConv3x3(nn.Module):
         )
         dn = ("NHWC", "HWIO", "NHWC")
         f = self.features
-        # exact mode: tap contractions/resizes run in f32 during TRAINING
-        # (grad fidelity through the reduce convs); at inference they run in
-        # the serving dtype, like the resize-then-conv they replace would —
-        # the f32 shifted-add accumulation below matches the conv's MXU f32
-        # accumulator either way
+        # exact mode: tap contractions/resizes/shifted adds run in f32
+        # during TRAINING (grad fidelity through the reduce convs,
+        # conv-accumulator-like summation); at inference everything runs in
+        # the serving dtype, like the resize-then-conv it replaces would
+        # (see class docstring for the reassociation-error bound)
         acc_dtype = jnp.float32 if train else streams[0].dtype
 
         split_groups = {}  # (h, w) -> list of (stream, kernel slice)
@@ -147,15 +152,16 @@ class _ConcatConv3x3(nn.Module):
             out = y if out is None else out + y
 
         # ONE shifted-add pass for every group: the 9 tap shifts are linear
-        # in z, so sum the resized tap tensors first (f32) and shift once —
-        # each extra pass costs ~9 grid-res slice+add sweeps, the dominant
-        # HBM traffic of the exact head at large batch.
+        # in z, so sum the resized tap tensors first and shift once — each
+        # extra pass costs ~9 grid-res slice+add sweeps, the dominant HBM
+        # traffic of the exact head at large batch. acc_dtype everywhere:
+        # f32 in training, the serving dtype at inference (see docstring).
         z_total = None
         for hw, group in split_groups.items():
             z = sum(self._tap_contract(s, k, acc_dtype) for s, k in group)
             if tuple(hw) != tuple(grid_hw):
                 z = resize_bilinear_align_corners(z, grid_hw)
-            z = z.astype(jnp.float32)
+            z = z.astype(acc_dtype)
             z_total = z if z_total is None else z_total + z
         if z_total is not None:
             y = self._shifted_taps(z_total, f, grid_hw)
