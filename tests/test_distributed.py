@@ -83,7 +83,7 @@ def single_process_run(tmp_path_factory):
     return synth, m1, out1
 
 
-def _run_two_process(synth, model_dir, extra):
+def _run_two_process(synth, model_dir, extra, _retried=False):
     port = _free_port()
     dist = (NET + ["--synthetic-dir", synth, "--model-dir", model_dir,
                    "--coordinator", "127.0.0.1:%d" % port,
@@ -93,8 +93,21 @@ def _run_two_process(synth, model_dir, extra):
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out)
-    assert all(p.returncode == 0 for p in procs), (outs[0][-3000:],
-                                                   outs[1][-3000:])
+    if not all(p.returncode == 0 for p in procs):
+        # Gloo's transport connect timeout (fixed inside XLA's CPU
+        # collectives) trips when this box's single core is saturated by
+        # the rest of the suite — the two ranks can't handshake in time.
+        # One retry into the same (cleared) model dir — callers restore
+        # checkpoints from it; a real wiring failure repeats either way.
+        transient = any("Gloo context initialization failed" in o
+                        or "Connect timeout" in o
+                        or "DEADLINE_EXCEEDED" in o for o in outs)
+        if transient and not _retried:
+            import shutil
+
+            shutil.rmtree(model_dir, ignore_errors=True)
+            return _run_two_process(synth, model_dir, extra, _retried=True)
+        assert False, (outs[0][-3000:], outs[1][-3000:])
     return outs
 
 
