@@ -265,7 +265,18 @@ def main():
         return det, seg
 
     # warmup / compile
-    jax.block_until_ready(forward(variables, images))
+    import numpy as np
+
+    det, _ = jax.block_until_ready(forward(variables, images))
+    # The one-time axon first-D2H stall (90-580 s, docs/LOWERING_NOTE.md)
+    # overlaps the cold compile via prime_d2h_async — but with a WARM
+    # compile cache it would land inside the timed window instead
+    # (measured: 93 img/s instead of ~1700). Join the priming thread and
+    # pay one real readback here so the timed loop sees steady state.
+    from dspnet_tpu.utils.warmup import wait_primed
+
+    wait_primed()
+    np.asarray(det[0, :1, :1])
     # timed
     iters = 20
     t0 = time.perf_counter()
