@@ -5,10 +5,11 @@ Measures the BASELINE.md north-star metric: images/sec/chip for the full
 head + on-device decode+NMS + seg argmax) on the attached TPU.
 
 Serving configuration: bfloat16 weights/activations on the MXU (box decode,
-NMS, and softmax stay float32), Pallas fused-NMS backend, seg_fast head
-(score conv at native stream resolutions — dspnet_tpu/models/seg_head.py;
-~1700 img/s vs 1672 reference-exact at b128 on v5e; set BENCH_SEG_EXACT=1
-for the reference-exact head). Default batch 128 maximizes throughput/chip;
+NMS, and softmax stay float32), Pallas fused-NMS backend, reference-EXACT
+seg head by default (same numerics as the reference's builder; ~1672 img/s
+at b128 on v5e; set BENCH_SEG_FAST=1 for the FCN-style variant head,
+~1700-1730 — dspnet_tpu/models/seg_head.py). Default batch 128 maximizes
+throughput/chip;
 pass a smaller batch as argv[1] for latency-oriented serving.
 BENCH_TRAIN=1 switches to the canonical train-step benchmark (bench_train);
 BENCH_SERVE=1 to the 512x1024 b1 serving-latency benchmark (bench_serve).
@@ -240,7 +241,12 @@ def main():
     from dspnet_tpu.utils.warmup import prime_d2h_async
 
     prime_d2h_async()  # overlap axon's first-D2H stall with the compiles
-    seg_fast = not os.environ.get("BENCH_SEG_EXACT")
+    # Default measures the REFERENCE-EXACT seg head (same numerics as
+    # reference multitask_symbol_builder.py:574-584); BENCH_SEG_FAST=1
+    # opts into the FCN-style variant head (~1.7% faster, different
+    # numerics). Flipped in r5 so the driver-captured headline records
+    # parity semantics first (VERDICT r4 #4).
+    seg_fast = bool(os.environ.get("BENCH_SEG_FAST"))
     bundle = create_model("resnet-50_multi", (H, W), num_classes=8,
                           seg_fast=seg_fast)
     model = bundle.model
@@ -275,7 +281,10 @@ def main():
     # pay one real readback here so the timed loop sees steady state.
     from dspnet_tpu.utils.warmup import wait_primed
 
-    wait_primed()
+    # bounded join: if the priming fetch wedges past the observed 580 s
+    # worst case, fall through — the real readback below pays the stall
+    # instead of hanging the bench with no output (ADVICE r4)
+    wait_primed(timeout=900)
     np.asarray(det[0, :1, :1])
     # timed
     iters = 20
@@ -291,6 +300,7 @@ def main():
         "value": round(float(imgs_per_sec), 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(float(imgs_per_sec) / 500.0, 4),
+        "seg_head": "fast_variant" if seg_fast else "reference_exact",
     }))
 
 

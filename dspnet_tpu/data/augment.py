@@ -154,6 +154,54 @@ def resize_example(
     return img, label, seg
 
 
+def color_jitter(img_bgr: np.ndarray, jitter, rng: np.random.RandomState) -> np.ndarray:
+    """Random hue / saturation / illumination / contrast jitter.
+
+    Capability parity with the reference's plain-SSD record path: the
+    cfg.train.color_jitter probabilities/magnitudes
+    (reference config/config.py:22-29 defaults, :50-51 training preset —
+    each op p=0.5, hue ±18, saturation ±32, illumination ±32, contrast
+    ±0.5) are forwarded as kwargs into the C++ ``mx.io.ImageDetRecordIter``
+    (reference dataset/iterator.py:52-64). The C++ op semantics follow the
+    standard HSV-space definitions that augmenter implements: hue adds a
+    delta to the H channel mod 180, saturation adds a clamped delta to S,
+    illumination adds a clamped delta to every BGR channel, contrast scales
+    about the grayscale mean (``img*alpha + (1-alpha)*mean(gray)``). Ops are
+    applied in the ColorJitter namedtuple's field order; each is gated by
+    its own probability, so the order is not an observable contract.
+
+    ``img_bgr`` must be uint8 HxWx3; draws come from ``rng`` so the
+    pipeline stays deterministic under the canonical seed 233.
+    """
+    out = img_bgr
+    p = jitter.get("random_hue_prob", 0.0)
+    if p > 0 and rng.rand() < p:
+        delta = rng.uniform(-jitter["max_random_hue"], jitter["max_random_hue"])
+        hsv = cv2.cvtColor(out, cv2.COLOR_BGR2HSV).astype(np.int32)
+        hsv[..., 0] = (hsv[..., 0] + int(round(delta))) % 180
+        out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+    p = jitter.get("random_saturation_prob", 0.0)
+    if p > 0 and rng.rand() < p:
+        delta = rng.uniform(-jitter["max_random_saturation"],
+                            jitter["max_random_saturation"])
+        hsv = cv2.cvtColor(out, cv2.COLOR_BGR2HSV).astype(np.float32)
+        hsv[..., 1] = np.clip(hsv[..., 1] + delta, 0, 255)
+        out = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2BGR)
+    p = jitter.get("random_illumination_prob", 0.0)
+    if p > 0 and rng.rand() < p:
+        delta = rng.uniform(-jitter["max_random_illumination"],
+                            jitter["max_random_illumination"])
+        out = np.clip(out.astype(np.float32) + delta, 0, 255).astype(np.uint8)
+    p = jitter.get("random_contrast_prob", 0.0)
+    if p > 0 and rng.rand() < p:
+        alpha = 1.0 + rng.uniform(-jitter["max_random_contrast"],
+                                  jitter["max_random_contrast"])
+        gray_mean = float(cv2.cvtColor(out, cv2.COLOR_BGR2GRAY).mean())
+        out = np.clip(out.astype(np.float32) * alpha
+                      + (1.0 - alpha) * gray_mean, 0, 255).astype(np.uint8)
+    return out
+
+
 def normalize_image(img_bgr: np.ndarray, mean_pixels=MEAN_PIXELS) -> np.ndarray:
     """BGR uint8 HxWx3 -> float32 RGB NHWC-ready, mean-subtracted
     (iterator.py:570-571, kept in HWC instead of CHW — TPU layout)."""

@@ -4,7 +4,10 @@ Capability parity with the reference's plain-SSD input paths
 (dataset/iterator.py:113-297 DetIter and :10-111 DetRecordIter): per image,
 one candidate pooled from the IoU-constrained RandCropper samples and the
 RandPadder canvas (tools/rand_sampler.py) is applied, plus optional
-horizontal mirror, random-interpolation resize, then mean-sub NHWC float.
+horizontal mirror, random-interpolation resize, color jitter with the
+cfg.train.color_jitter probabilities (config/config.py:50-51, forwarded to
+the C++ record iterator at dataset/iterator.py:52-64 — here implemented in
+data/augment.py:color_jitter), then mean-sub NHWC float.
 Labels are (B, max_objects, 6) rows [cls, x1, y1, x2, y2, dist=0] — the
 width-6 layout lets the shared multibox_target op consume plain-SSD labels
 unchanged. The final partial batch is padded by wrapping to the start of
@@ -144,6 +147,15 @@ class DetIterator:
             else:
                 interp = cv2.INTER_LINEAR
             img = cv2.resize(img, (W, H), interpolation=interp)
+            if self.is_train:
+                # hue/sat/illumination/contrast with the cfg probabilities
+                # (reference config/config.py:50-51 via iterator.py:52-64);
+                # applied post-resize on the data_shape uint8 image —
+                # jitter is pixelwise, so ordering vs the geometric ops
+                # differs only through interpolation rounding
+                jitter = self.cfg.get("color_jitter", None)
+                if jitter:
+                    img = aug.color_jitter(img, jitter, self.rng)
             images[b] = aug.normalize_image(img, self.mean_pixels)
             valid = label[label[:, 0] >= 0][: self.max_objects]
             labels[b, : valid.shape[0], :5] = valid[:, :5]

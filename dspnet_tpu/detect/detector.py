@@ -131,7 +131,11 @@ class Detector:
             )
             results["det"] = det
         if "seg_logits" in out:
-            results["seg"] = jnp.argmax(out["seg_logits"], axis=-1)
+            # uint8 trainId map: 4x fewer device->host bytes than the int32
+            # argmax (the seg D2H is per-batch on every eval/serving path;
+            # trainIds are < 256 by the cs_labels contract) — VERDICT r4 #6
+            results["seg"] = jnp.argmax(out["seg_logits"], axis=-1).astype(
+                jnp.uint8)
             if self.seg_probabilities:
                 results["seg_prob"] = jax.nn.softmax(out["seg_logits"], axis=-1)
         return results

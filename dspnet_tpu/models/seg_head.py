@@ -40,8 +40,10 @@ class _ConcatConv3x3(nn.Module):
     ~2 ms/batch32 saved at 512x512 on v5e.
 
     ``fast=False`` (default, reference-exact): every stream is bilinear-
-    resized to ``grid_hw`` first, then convolved — conv distributes over the
-    channel concat, so this is bitwise the builder.py:574-584 graph.
+    resized to ``grid_hw`` first, then convolved — conv distributes over
+    the channel concat, so this is mathematically identical to the
+    builder.py:574-584 graph (fp summation order differs via the tap-split
+    below; see the reassociation bound in the tap-split paragraph).
 
     ``fast=True`` (opt-in variant): each stream is convolved at its NATIVE
     resolution and the ``features``-channel partial result is resized to

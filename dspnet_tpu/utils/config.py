@@ -56,12 +56,26 @@ cfg.train.shuffle = True
 cfg.train.seed = 233
 cfg.train.inter_method = 10  # random interpolation
 cfg.train.preprocess_threads = 48
-cfg.train.color_jitter = DotDict(brightness=0.125, contrast=0.125, saturation=0.125)
+# reference config/config.py:50-51 training preset over the :22-29 defaults;
+# consumed by data.det_iterator.DetIterator via data.augment.color_jitter
+cfg.train.color_jitter = DotDict(
+    random_hue_prob=0.5, max_random_hue=18,
+    random_saturation_prob=0.5, max_random_saturation=32,
+    random_illumination_prob=0.5, max_random_illumination=32,
+    random_contrast_prob=0.5, max_random_contrast=0.5,
+)
 
 cfg.valid = DotDict()
 cfg.valid.rand_crop_samplers = []
 cfg.valid.rand_pad = None
 cfg.valid.rand_mirror_prob = 0.0
+# reference config/config.py:63 — all-zero probabilities (no jitter at eval)
+cfg.valid.color_jitter = DotDict(
+    random_hue_prob=0.0, max_random_hue=18,
+    random_saturation_prob=0.0, max_random_saturation=32,
+    random_illumination_prob=0.0, max_random_illumination=32,
+    random_contrast_prob=0.0, max_random_contrast=0.5,
+)
 cfg.valid.shuffle = False
 cfg.valid.seed = 0
 cfg.valid.preprocess_threads = 32

@@ -104,7 +104,12 @@ def _run_two_process(synth, model_dir, extra, _retried=False):
                         or "DEADLINE_EXCEEDED" in o for o in outs)
         if transient and not _retried:
             import shutil
+            import warnings
 
+            # visible marker: recurring retries in CI logs would flag a
+            # slowly regressing distributed-init path (ADVICE r4)
+            warnings.warn("retrying 2-process run after transient Gloo "
+                          "connect failure", stacklevel=2)
             shutil.rmtree(model_dir, ignore_errors=True)
             return _run_two_process(synth, model_dir, extra, _retried=True)
         assert False, (outs[0][-3000:], outs[1][-3000:])

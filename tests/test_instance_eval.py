@@ -140,9 +140,47 @@ def test_boxes_and_seg_to_instances():
         dets, seg, {2: 13}, ["person", "rider", "car"], (32, 64)
     )
     assert len(inst) == 1
-    mask, name, conf = inst[0]
-    assert name == "car" and conf == pytest.approx(0.9)
-    assert mask.sum() > 0
+    p = inst[0]  # bbox-local PredInstance (no full-res mask allocated)
+    assert p.class_name == "car" and p.confidence == pytest.approx(0.9)
+    assert p.mask.sum() > 0
+    full = p.full_mask((32, 64))
+    assert full.shape == (32, 64) and full.sum() == p.mask.sum()
+
+
+def test_accumulator_compact_equals_full_masks():
+    """Bbox-local PredInstance path must score bit-identically to the
+    full-image mask path (same set intersections, VERDICT r4 #6)."""
+    from dspnet_tpu.evaluate.instance_eval import PredInstance
+
+    rng = np.random.RandomState(3)
+    H, W = 96, 128
+    gt = _gt(H, W, (0, 0, 30, 90, 128),          # void strip
+             (26, 50, 90, 0, 40),                # car group
+             (26001, 10, 40, 10, 50),
+             (26002, 60, 90, 60, 110),
+             (24001, 20, 60, 70, 100))           # person instance
+    preds_full, preds_compact = [], []
+    for i in range(8):
+        y1 = int(rng.randint(0, H - 12)); y2 = y1 + int(rng.randint(8, 40))
+        x1 = int(rng.randint(0, W - 12)); x2 = x1 + int(rng.randint(8, 50))
+        y2, x2 = min(y2, H), min(x2, W)
+        local = rng.rand(y2 - y1, x2 - x1) > 0.3
+        cname = "car" if i % 2 == 0 else "person"
+        conf = float(rng.rand())
+        m = np.zeros((H, W), bool)
+        m[y1:y2, x1:x2] = local
+        preds_full.append((m, cname, conf))
+        preds_compact.append(PredInstance((y1, y2, x1, x2), local, cname, conf))
+    a = InstanceEvalAccumulator(["car", "person"])
+    a.update(preds_full, gt)
+    b = InstanceEvalAccumulator(["car", "person"])
+    b.update(preds_compact, gt)
+    np.testing.assert_array_equal(a.ap_matrix(), b.ap_matrix())
+    for c in ("car", "person"):
+        for ti in range(10):
+            assert a._y_true[c][ti] == b._y_true[c][ti]
+            assert a._y_score[c][ti] == b._y_score[c][ti]
+        assert (a._hard_fns[c] == b._hard_fns[c]).all()
 
 
 def test_polygons_to_instanceid_png_roundtrip(tmp_path):

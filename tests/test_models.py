@@ -331,6 +331,24 @@ def test_concat_conv_tap_split_upsampled_stream():
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4)
 
+    # bf16 serving path: at inference the contraction/resize/shifted adds
+    # run in the SERVING dtype (seg_head.py acc_dtype), exercising the
+    # reassociated bf16 accumulation. Bound it against the bf16
+    # resize-then-conv graph it replaces (loose: bf16 has ~2^-8 steps and
+    # the 9-term tap sum reassociates).
+    streams_bf = [s.astype(jnp.bfloat16) for s in streams]
+    resized_bf = jnp.concatenate(
+        [resize_bilinear_align_corners(s, grid) for s in streams_bf], axis=-1)
+    ref_bf = fnn.Conv(
+        F, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+        dtype=jnp.bfloat16).apply(
+        {"params": {"kernel": v["params"]["kernel"]}}, resized_bf)
+    got_bf = m.apply(v, streams_bf, grid, False)
+    assert got_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_bf, dtype=np.float32),
+        np.asarray(ref_bf, dtype=np.float32), rtol=2e-2, atol=2e-2)
+
 
 def test_legacy_ssd_settled():
     """Legacy hand-written SSD graphs (reference legacy_vgg16_ssd_{300,512}
