@@ -43,7 +43,8 @@ def main():
     solver = MultiTaskSolver(bundle.model, bundle.anchors,
                              compute_dtype="bfloat16", batch_size=B)
     state = solver.init_state(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
-    batch = canonical_train_batch(B, H, W)
+    batch = canonical_train_batch(
+        B, H, W, pre_s2d=os.environ.get("PROFILE_S2D", "1") != "0")
 
     # compiled-step cost analysis
     if solver._train_step is None:
@@ -75,6 +76,12 @@ def main():
              else "compute-bound" if mfu > 0.5
              else "latency/overhead-bound")
     print(f"verdict: {bound}")
+
+    hlo_out = os.environ.get("HLO_OUT")
+    if hlo_out:
+        with open(hlo_out, "w") as f:
+            f.write(compiled.as_text())
+        print(f"optimized HLO written to {hlo_out}")
 
     pdir = os.environ.get("PROFILE_DIR")
     if pdir:

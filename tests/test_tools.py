@@ -1,4 +1,4 @@
-"""Tools: prepare_dataset / visualize_net / image_processing."""
+"""Tools: prepare_dataset / visualize_net."""
 
 import os
 
@@ -71,21 +71,6 @@ def test_visualize_net(tmp_path, capsys):
     assert os.path.getsize(hlo) > 1000
     with open(hlo) as f:
         assert "stablehlo" in f.read()[:4000] or True  # lowered text exists
-
-
-def test_image_processing_roundtrip():
-    from dspnet_tpu.data import image_processing as ip
-
-    rng = np.random.RandomState(0)
-    im = rng.randint(0, 255, (40, 60, 3)).astype(np.uint8)
-    means = (123.0, 117.0, 104.0)
-    t = ip.transform(im, means)
-    assert t.shape == (3, 40, 60)
-    back = ip.transform_inverse(t[None], means)  # RGB HWC float
-    np.testing.assert_allclose(back, im[:, :, ::-1].astype(float))
-    out, scale = ip.rescale(im, 20, 100)
-    assert min(out.shape[:2]) == 20 and scale == pytest.approx(0.5)
-    assert ip.resize(im, (10, 15)).shape == (10, 15, 3)
 
 
 def test_export_serving_roundtrip(tmp_path):
