@@ -80,6 +80,9 @@ def bench_train():
     tiles of the batch-minor layouts XLA picks for backward convs, so b8
     runs in nearly the same wall time (49.8 ms, 160.6 img/s, 24.3% MFU on
     2026-08-18) — b8 is the headline; b4 rides along for continuity.
+    Round 5: the batch arrives in the loaders' space-to-depth layout
+    (--input-s2d, free on the host side), removing the stem's input
+    relayout copies — 42.5 -> 41.6 ms b8 on 2026-08-20.
     """
     import jax
     import jax.numpy as jnp
@@ -96,7 +99,7 @@ def bench_train():
                                  compute_dtype="bfloat16", batch_size=B)
         state = solver.init_state(jax.random.PRNGKey(0),
                                   jnp.zeros((1, H, W, 3)))
-        batch = canonical_train_batch(B, H, W)
+        batch = canonical_train_batch(B, H, W, pre_s2d=True)
         if solver._train_step is None:
             solver._train_step = solver._build_train_step()
         compiled = solver._train_step.lower(state, batch).compile()

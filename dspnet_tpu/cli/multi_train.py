@@ -94,6 +94,13 @@ def parse_args(argv=None):
                    help="with --loader device: host-resize raws to the train "
                         "resolution before H2D (fewer bytes on the wire; "
                         "allows mixed raw resolutions)")
+    p.add_argument("--input-s2d", default="auto", choices=["auto", "on", "off"],
+                   help="deliver images as their 2x2 space-to-depth transform "
+                        "([B,H/2,W/2,12]) so the resnet stem's input relayout "
+                        "never runs on device (free in the host loaders; "
+                        "models/layers.space_to_depth). auto = on for resnet "
+                        "multitask/seg with even dims on the python/native/"
+                        "device loaders")
     p.add_argument("--native-u8", action="store_true",
                    help="with --loader native: transfer the warped batch as "
                         "uint8 and mean-sub on device (4x less H2D, "
@@ -143,6 +150,15 @@ def main(argv=None):
     if shard != (0, 1):
         log.info("input shard %d/%d, local batch %d", shard[0], shard[1],
                  local_batch)
+    s2d_on = (args.input_s2d == "on" or (
+        args.input_s2d == "auto"
+        and bundle.task in ("multi", "seg")
+        and bundle.cfg.network == "resnet"
+        and H % 2 == 0 and W % 2 == 0
+        and args.loader in ("python", "native", "device")))
+    if s2d_on:
+        log.info("input-s2d: images delivered as [B,%d,%d,12] space-to-depth",
+                 H // 2, W // 2)
     if args.loader == "native":
         from dspnet_tpu.data.native_loader import NativeMultiTaskIterator, native_available
 
@@ -150,7 +166,7 @@ def main(argv=None):
         train_iter = NativeMultiTaskIterator(
             train_index, local_batch, (H, W), enable_aug=True,
             num_threads=args.loader_threads, shard=shard,
-            device_normalize=args.native_u8,
+            device_normalize=args.native_u8, s2d=s2d_on,
         )
         log.info("using native C++ loader (%d threads%s)", args.loader_threads,
                  ", uint8 H2D" if args.native_u8 else "")
@@ -160,6 +176,7 @@ def main(argv=None):
         train_iter = DeviceAugIterator(
             train_index, local_batch, (H, W), enable_aug=True, shard=shard,
             num_threads=args.loader_threads, predownscale=args.predownscale,
+            s2d=s2d_on,
         )
         log.info("using on-device augmentation pipeline%s",
                  " (host predownscale)" if args.predownscale else "")
@@ -175,7 +192,8 @@ def main(argv=None):
         log.info("using plain-SSD DetIterator (crop/pad/mirror augmentation)")
     else:
         train_iter = MultiTaskIterator(train_index, local_batch, (H, W),
-                                       enable_aug=True, shard=shard)
+                                       enable_aug=True, shard=shard,
+                                       s2d=s2d_on)
 
     devices = jax.devices()
     n_dev = args.num_devices or len(devices)

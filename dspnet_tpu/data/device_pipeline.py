@@ -82,7 +82,8 @@ def _augment_boxes_jax(label, params, data_shape):
     return _filter_and_compact_jax(label, data_shape, out_of_image=True)
 
 
-@partial(jax.jit, static_argnames=("data_shape", "enable_aug", "apply_lut"))
+@partial(jax.jit,
+         static_argnames=("data_shape", "enable_aug", "apply_lut", "s2d"))
 def device_augment_batch(
     raw_images,  # (B, hh, ww, 3) uint8 BGR
     raw_segs,  # (B, hh, ww) uint8 or None
@@ -93,7 +94,12 @@ def device_augment_batch(
     enable_aug: bool = True,
     apply_lut: bool = True,
     mean_pixels: Tuple[float, float, float] = aug.MEAN_PIXELS,
+    s2d: bool = False,
 ):
+    """``s2d``: emit images as their space-to-depth transform (the resnet
+    stem's pre_s2d contract). On this loader the transpose runs on-device
+    (part of this jitted program), so unlike the host loaders it does not
+    remove the relayout cost — it only keeps the batch contract uniform."""
     H, W = data_shape
     B, hh, ww = raw_images.shape[:3]
     if not enable_aug:
@@ -113,6 +119,10 @@ def device_augment_batch(
     do_flip = (flip > 0.5) & enable_aug
     img = jnp.where(do_flip[:, None, None, None], img[:, :, ::-1], img)
     img = img[..., ::-1] - jnp.asarray(mean_pixels, jnp.float32)  # BGR->RGB
+    if s2d:
+        from dspnet_tpu.models.layers import space_to_depth
+
+        img = space_to_depth(img)
 
     out = {"images": img}
     if raw_segs is not None:
@@ -157,6 +167,7 @@ class DeviceAugIterator:
         queue_cap: int = 3,
         predownscale: bool = False,
         pad_last: bool = False,
+        s2d: bool = False,
     ):
         """``predownscale``: host-resize each raw image straight to
         ``data_shape`` (AREA for pixels, NEAREST for seg masks) before the
@@ -172,6 +183,7 @@ class DeviceAugIterator:
         self.data_shape = tuple(data_shape)
         self.predownscale = predownscale
         self.pad_last = pad_last
+        self.s2d = bool(s2d)
         self.mean_pixels = tuple(float(m) for m in mean_pixels)
         self.enable_aug = enable_aug
         self.apply_seg_lut = apply_seg_lut
@@ -317,6 +329,7 @@ class DeviceAugIterator:
                     enable_aug=self.enable_aug,
                     apply_lut=self.apply_seg_lut,
                     mean_pixels=self.mean_pixels,
+                    s2d=self.s2d,
                 )
                 yield batch, item["names"]
         finally:

@@ -135,6 +135,7 @@ class MultiTaskIterator:
         shuffle: bool = True,
         shard: Tuple[int, int] = (0, 1),
         pad_last: bool = False,
+        s2d: bool = False,
     ):
         """``pad_last``: also yield a final partial batch, padded to
         ``batch_size`` with empty rows (zero images, all -1 det labels,
@@ -142,7 +143,12 @@ class MultiTaskIterator:
         consumers slice outputs by ``len(fnames)``. Without it, a val set
         smaller than (or not divisible by) the batch silently drops its
         tail; eval paths must pass True. Train keeps False: a padded train
-        batch would feed empty rows to the loss."""
+        batch would feed empty rows to the loss.
+
+        ``s2d``: emit images as their 2x2 space-to-depth transform
+        ([B, H/2, W/2, 12], models/layers.space_to_depth channel order) —
+        the resnet stem's pre_s2d input contract, which removes the input
+        relayout copies from the device step (docs/ROOFLINE.md r5)."""
         self.index = index
         self.batch_size = batch_size
         self.data_shape = tuple(data_shape)
@@ -154,6 +160,10 @@ class MultiTaskIterator:
         self.num_samples = len(index)
         self.shard = tuple(shard)
         self.pad_last = pad_last
+        self.s2d = bool(s2d)
+        if s2d:
+            H, W = self.data_shape
+            assert H % 2 == 0 and W % 2 == 0, "s2d needs even data_shape"
         # epoch positions this host owns (indices into order/aug tables)
         self.positions = shard_positions(self.num_samples, shard)
         self.order = np.arange(self.num_samples)
@@ -216,6 +226,10 @@ class MultiTaskIterator:
                 segs[b] = aug.downsample_seg(seg.astype(np.uint8), self.lut)
             fnames.append(sample.image_path)
             self.cursor += 1
+        if self.s2d:
+            from dspnet_tpu.models.layers import space_to_depth
+
+            images = space_to_depth(images)  # numpy in, numpy out
         batch = {"images": images, "label_det": labels}
         if has_seg:
             batch["seg_label"] = segs

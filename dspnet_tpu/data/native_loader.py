@@ -54,6 +54,7 @@ def _load_lib():
     lib.dl_next_batch.restype = ctypes.c_int
     lib.dl_set_u8.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dl_set_pad_last.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.dl_set_s2d.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.dl_next_batch_u8.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
@@ -97,6 +98,7 @@ class NativeMultiTaskIterator:
         shard: Tuple[int, int] = (0, 1),
         device_normalize: bool = False,
         pad_last: bool = False,
+        s2d: bool = False,
     ):
         """``device_normalize``: C++ workers emit the warped uint8 RGB batch
         and the f32 mean-sub runs as a tiny jitted op on device — 4x less
@@ -105,7 +107,13 @@ class NativeMultiTaskIterator:
 
         ``pad_last``: also emit a final partial batch padded with empty
         rows (MultiTaskIterator.pad_last contract); ``epoch()``'s fnames
-        then list only the real samples."""
+        then list only the real samples.
+
+        ``s2d``: the C++ workers write each warped pixel straight into the
+        2x2 space-to-depth arrangement ([B, H/2, W/2, 12], the resnet
+        stem's pre_s2d input, models/layers.space_to_depth channel order) —
+        free on the host (every pixel is written once either way) and it
+        removes the input relayout copies from the device step entirely."""
         self.lib = _load_lib()
         self._index = index
         self.batch_size = batch_size
@@ -125,6 +133,10 @@ class NativeMultiTaskIterator:
         )
         if device_normalize:
             self.lib.dl_set_u8(self.handle, 1)
+        self.s2d = bool(s2d)
+        if s2d:
+            assert H % 2 == 0 and W % 2 == 0, "s2d needs even data_shape"
+            self.lib.dl_set_s2d(self.handle, 1)
         self.pad_last = pad_last
         if pad_last:
             self.lib.dl_set_pad_last(self.handle, 1)
@@ -175,10 +187,12 @@ class NativeMultiTaskIterator:
     def next_batch(self):
         H, W = self.data_shape
         B = self.batch_size
+        img_shape = ((B, H // 2, W // 2, 12) if self.s2d else (B, H, W, 3))
+        mean = (tuple(self.mean_pixels) * 4) if self.s2d else self.mean_pixels
         labels = np.empty((B, MAX_OBJECTS, LABEL_WIDTH), np.float32)
         segs = np.empty((B, H // 4, W // 4), np.int32)
         if self.device_normalize:
-            u8 = np.empty((B, H, W, 3), np.uint8)
+            u8 = np.empty(img_shape, np.uint8)
             n = self.lib.dl_next_batch_u8(
                 self.handle,
                 u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -186,9 +200,9 @@ class NativeMultiTaskIterator:
                 segs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             )
             assert n == B or (self.pad_last and 0 < n <= B), n
-            images = _normalize_on_device(u8, self.mean_pixels)
+            images = _normalize_on_device(u8, mean)
         else:
-            images = np.empty((B, H, W, 3), np.float32)
+            images = np.empty(img_shape, np.float32)
             n = self.lib.dl_next_batch(
                 self.handle,
                 images.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -76,6 +76,8 @@ class DSPNet(nn.Module):
             out["cls_logits"] = cls_logits
         if self.task in ("seg", "multi"):
             h, w = images.shape[1], images.shape[2]
+            if images.shape[-1] == 12:  # pre-space-to-depth input (resnet.py)
+                h, w = h * 2, w * 2
             out["seg_logits"] = SegHead(self.seg_classes, fast=self.seg_fast,
                                         name="seg")(
                 res3, res4, conv_feat, (h // 8, w // 8), train

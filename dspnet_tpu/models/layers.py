@@ -37,10 +37,27 @@ class _BatchNormImpl(nn.Module):
     use_scale: bool = True
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
+    fold: int = 1
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool):
-        c = x.shape[-1]
+    def __call__(self, x, use_running_average: bool, stats_input=None):
+        # fold > 1: the input carries `fold` spatial phases of a
+        # (c/fold)-channel tensor in its channel dim, c-minor (the stem's
+        # space-to-depth layout, see resnet.py). Params/stats stay per
+        # ORIGINAL channel — shapes and checkpoint paths unchanged — and
+        # batch statistics reduce over all phases jointly, so the math is
+        # the plain BN of the pre-s2d tensor (same pixel multiset per
+        # channel; only f32 reassociation differs).
+        #
+        # stats_input: optional view of x carrying the SAME traced values
+        # in a different spatial arrangement (e.g. the pre-space-to-depth
+        # image; channel dim may be c or fold*c), used only for the
+        # batch-statistics reduction. BN stats are permutation-invariant,
+        # so this is mathematically free — but it lets XLA keep the stats
+        # reduce fused over the contiguous layout instead of re-deriving it
+        # through the transpose (profiled: a 1.1 ms unfused stats pass at
+        # b8 512x1024 otherwise, docs/ROOFLINE.md r5).
+        c = x.shape[-1] // self.fold
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable(
@@ -55,9 +72,14 @@ class _BatchNormImpl(nn.Module):
             # f32 accumulation; the convert fuses into the reduce (the big
             # tensor is only ever read in its own dtype). Same fast-variance
             # formula as flax's _compute_stats.
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=axes)
-            mean2 = jnp.mean(xf * xf, axis=axes)
+            xs = x if stats_input is None else stats_input
+            xf = xs.astype(jnp.float32)
+            saxes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xf, axis=saxes)
+            mean2 = jnp.mean(xf * xf, axis=saxes)
+            if xs.shape[-1] != c:  # folded stats: join the phases
+                mean = mean.reshape(-1, c).mean(0)
+                mean2 = mean2.reshape(-1, c).mean(0)
             var = jnp.maximum(mean2 - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = (
@@ -68,6 +90,9 @@ class _BatchNormImpl(nn.Module):
         if scale is not None:
             mul = mul * scale.astype(jnp.float32)
         add = bias.astype(jnp.float32) - mean * mul
+        if self.fold > 1:
+            mul = jnp.tile(mul, self.fold)
+            add = jnp.tile(add, self.fold)
         return x * mul.astype(x.dtype) + add.astype(x.dtype)
 
 
@@ -86,15 +111,17 @@ class BatchNorm(nn.Module):
     fix_gamma: bool = False
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
+    fold: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, stats_input=None):
         return _BatchNormImpl(
             use_scale=not self.fix_gamma,
             momentum=self.momentum,
             epsilon=self.epsilon,
+            fold=self.fold,
             name="BatchNorm_0",
-        )(x, use_running_average=not train)
+        )(x, use_running_average=not train, stats_input=stats_input)
 
 
 def conv(x, features, kernel, stride=1, pad="same_explicit", use_bias=True, name=None):
@@ -142,6 +169,19 @@ def _port_bwd(batch, g):
 _batch_mean_cotangent_port.defvjp(_port_fwd, _port_bwd)
 
 
+def space_to_depth(x):
+    """[B, H, W, C] -> [B, H/2, W/2, 4C], channel order (dy, dx, c) with c
+    minor — the layout SpaceToDepthConv(pre_s2d=True) consumes. Kept as a
+    free function so the stem can hoist the one unavoidable relayout copy
+    to the RAW input (before bn_data) instead of paying three copies:
+    profiled on v5e at 512x1024 b8, bn-then-s2d cost 1.77 ms of layout
+    copies (bn output relayout + 6-D transpose + batch-minor conv-input
+    copy); s2d-then-bn leaves a single transpose (docs/ROOFLINE.md r5)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
 class SpaceToDepthConv(nn.Module):
     """7x7 stride-2 pad-3 stem conv, computed as a 4x4 stride-1 conv over
     the 2x2 space-to-depth transform of the input.
@@ -160,7 +200,8 @@ class SpaceToDepthConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, sum_batch_cotangent: bool = False):
+    def __call__(self, x, sum_batch_cotangent: bool = False,
+                 pre_s2d: bool = False):
         """``sum_batch_cotangent=True`` reroutes the backward input-gradient
         through a batch-1 dgrad conv of the batch-summed output cotangent.
         Value-identical forward; the input cotangent becomes the per-sample
@@ -173,8 +214,17 @@ class SpaceToDepthConv(nn.Module):
         (109/128 lanes padded) and ran at ~5% MXU efficiency, 2.8 ms of the
         b8 512x1024 train step — only to be batch+space-summed into a
         3-channel beta grad. Only set this under a trainable graph that
-        satisfies the batch-sum condition."""
-        b, h, w, c = x.shape
+        satisfies the batch-sum condition.
+
+        ``pre_s2d=True``: the caller already applied :func:`space_to_depth`
+        (e.g. to hoist the relayout above bn_data); ``x`` is
+        [B, H/2, W/2, 4C] in (dy, dx, c) channel order. The parameter stays
+        the logical ``(7, 7, C, F)`` kernel either way."""
+        if pre_s2d:
+            b, _, _, c4 = x.shape
+            c = c4 // 4
+        else:
+            b, h, w, c = x.shape
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -203,15 +253,15 @@ class SpaceToDepthConv(nn.Module):
             y1 = apply_conv(z1, jax.lax.stop_gradient(kz), stride, pad)
             return y + jnp.broadcast_to(y1, y.shape)
 
-        if h % 2 or w % 2:  # odd input: the s2d reindexing needs even dims
+        if not pre_s2d and (x.shape[1] % 2 or x.shape[2] % 2):
+            # odd input: the s2d reindexing needs even dims
             return conv_sum_cotangent(x, k, (2, 2), ((3, 3), (3, 3)))
         # kernel: pad ky,kx 7->8 at the front, then split each into
-        # (offset, parity); channel order (di, dj, c) matches the s2d below
+        # (offset, parity); channel order (di, dj, c) matches space_to_depth
         kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
         k4 = kp.reshape(4, 2, 4, 2, c, self.features).transpose(
             0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
-        x2 = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
-            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        x2 = x if pre_s2d else space_to_depth(x)
         return conv_sum_cotangent(x2, k4, (1, 1), ((2, 1), (2, 1)))
 
 

@@ -26,6 +26,7 @@ from dspnet_tpu.models.layers import (
     SpaceToDepthConv,
     conv,
     max_pool,
+    space_to_depth,
 )
 
 UNITS = {
@@ -97,15 +98,37 @@ class ResNet(nn.Module):
         # the train flag is a python bool -> static for the checkpointed fn
         Unit = nn.remat(ResidualUnit, static_argnums=(2,)) if self.remat else ResidualUnit
 
-        x = BatchNorm(fix_gamma=True, name="bn_data")(x, train)
         # 7x7/2 stem as a space-to-depth 4x4/1 conv (same math + param
         # layout, much faster backward on TPU) — see layers.SpaceToDepthConv.
         # sum_batch_cotangent: the only param upstream of conv0 is bn_data's
         # beta (fix_gamma, image input), whose grad is a batch-sum — so the
         # stem's input dgrad can run as ONE batch-1 conv (exact; ~2.8 ms of
-        # the b8 512x1024 step otherwise)
-        x = SpaceToDepthConv(filter_list[0], name="conv0")(
-            x, sum_batch_cotangent=train)
+        # the b8 512x1024 step otherwise).
+        # s2d BEFORE bn_data (stats folded back per original channel —
+        # identical math, see _BatchNormImpl.fold): hoisting the relayout to
+        # the raw input collapses three stem layout copies into one
+        # (docs/ROOFLINE.md r5; 1.77 ms -> one transpose at b8 512x1024).
+        if x.shape[-1] == 12:
+            # pre-space-to-depth input: the loader already delivered
+            # space_to_depth(image) ([B, H/2, W/2, 12], (dy, dx, c) channel
+            # order), so no relayout exists on device at all — the H2D DMA
+            # wrote the final arrangement. bn_data stats fold back per
+            # original RGB channel (identical math, see _BatchNormImpl).
+            x = BatchNorm(fix_gamma=True, fold=4, name="bn_data")(x, train)
+            x = SpaceToDepthConv(filter_list[0], name="conv0")(
+                x, sum_batch_cotangent=train, pre_s2d=True)
+        elif x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            x2 = space_to_depth(x)
+            # stats from the pre-s2d view (identical values, contiguous
+            # layout — keeps the stats reduce fused, see _BatchNormImpl)
+            x = BatchNorm(fix_gamma=True, fold=4, name="bn_data")(
+                x2, train, stats_input=x)
+            x = SpaceToDepthConv(filter_list[0], name="conv0")(
+                x, sum_batch_cotangent=train, pre_s2d=True)
+        else:
+            x = BatchNorm(fix_gamma=True, name="bn_data")(x, train)
+            x = SpaceToDepthConv(filter_list[0], name="conv0")(
+                x, sum_batch_cotangent=train)
         x = nn.relu(BatchNorm(name="bn0")(x, train))
         x = max_pool(x, 3, 2, 1)
 

@@ -30,11 +30,16 @@ def timed(fn, *args, n: int = 20, warmup: int = 3) -> float:
     return (time.perf_counter() - t0) / n
 
 
-def canonical_train_batch(B: int = 4, H: int = 512, W: int = 1024, seed: int = 0):
+def canonical_train_batch(B: int = 4, H: int = 512, W: int = 1024, seed: int = 0,
+                          pre_s2d: bool = False):
     """Device-resident synthetic multitask batch at the canonical training
     config (8 random boxes/image, 19-class seg labels) — shared by
     bench.py's train mode and the profiling/A-B scripts so the workload is
-    identical across them."""
+    identical across them.
+
+    ``pre_s2d``: deliver the image as its space-to-depth transform
+    ([B, H/2, W/2, 12], the loaders' ``--input-s2d`` contract) so the step
+    graph contains no input relayout (models/resnet.py stem)."""
     import jax
     import numpy as np
 
@@ -43,14 +48,25 @@ def canonical_train_batch(B: int = 4, H: int = 512, W: int = 1024, seed: int = 0
     lab[:, :8] = np.abs(rng.rand(B, 8, 6)).astype(np.float32)
     lab[:, :8, 0] = rng.randint(0, 8, (B, 8))
     lab[:, :8, 3:5] = lab[:, :8, 1:3] + 0.2
+    img = rng.rand(B, H, W, 3).astype(np.float32)
+    if pre_s2d:
+        img = host_space_to_depth(img)
     batch = {
-        "images": jax.device_put(rng.rand(B, H, W, 3).astype(np.float32)),
+        "images": jax.device_put(img),
         "label_det": jax.device_put(lab),
         "seg_label": jax.device_put(
             rng.randint(0, 19, (B, H // 4, W // 4)).astype(np.int32)),
     }
     jax.block_until_ready(batch)
     return batch
+
+
+def host_space_to_depth(img):
+    """numpy [B, H, W, C] -> [B, H/2, W/2, 4C] — models/layers.space_to_depth
+    applied on host (same code; ndarray methods keep numpy in, numpy out)."""
+    from dspnet_tpu.models.layers import space_to_depth
+
+    return space_to_depth(img)
 
 
 def timed_train_steps(solver, state, batch, n: int = 20, warmup: int = 3):

@@ -243,6 +243,12 @@ struct Loader {
   bool enable_aug;
   bool u8_mode = false;  // emit warped uint8; caller normalizes on device
   bool pad_last = false; // emit a final partial batch, padded (eval paths)
+  bool s2d = false;      // emit the 2x2 space-to-depth layout
+                         // [H/2, W/2, 12] (channel order (dy, dx, c), c
+                         // minor — models/layers.space_to_depth): the H2D
+                         // DMA then writes the resnet stem's input
+                         // arrangement directly and NO relayout copy
+                         // exists on device (docs/ROOFLINE.md r5)
   uint8_t seg_lut[256];
 
   std::vector<SampleDesc> samples;
@@ -368,6 +374,17 @@ void process_one(Loader* L, int cursor, int slot, Batch* batch) {
   }
 
   bool do_flip = L->enable_aug && flip > 0.5;
+  // destination offset of output pixel (y, x): plain NHWC, or the 2x2
+  // space-to-depth arrangement when s2d is set (same total bytes; the
+  // permutation costs nothing here — every pixel is written exactly once
+  // either way)
+  const int Wh = W >> 1;
+  const bool s2d = L->s2d;
+  auto dst_off = [&](int y, int x) -> size_t {
+    if (!s2d) return (size_t(y) * W + x) * 3;
+    return (size_t(y >> 1) * Wh + (x >> 1)) * 12 +
+           size_t(((y & 1) << 1) + (x & 1)) * 3;
+  };
   if (L->u8_mode) {
     // raw warped RGB uint8 (+ flip); mean-sub runs on device — 4x less
     // host->device traffic than the f32 batch
@@ -375,7 +392,7 @@ void process_one(Loader* L, int cursor, int slot, Batch* batch) {
       for (int x = 0; x < W; ++x) {
         int xs = do_flip ? (W - 1 - x) : x;
         const uint8_t* sp = warped.data() + (size_t(y) * W + xs) * 3;
-        uint8_t* dp = out_u8 + (size_t(y) * W + x) * 3;
+        uint8_t* dp = out_u8 + dst_off(y, x);
         dp[0] = sp[0]; dp[1] = sp[1]; dp[2] = sp[2];
       }
     }
@@ -385,7 +402,7 @@ void process_one(Loader* L, int cursor, int slot, Batch* batch) {
       for (int x = 0; x < W; ++x) {
         int xs = do_flip ? (W - 1 - x) : x;
         const uint8_t* sp = warped.data() + (size_t(y) * W + xs) * 3;
-        float* dp = out_img + (size_t(y) * W + x) * 3;
+        float* dp = out_img + dst_off(y, x);
         dp[0] = sp[0] - L->mean[0];
         dp[1] = sp[1] - L->mean[1];
         dp[2] = sp[2] - L->mean[2];
@@ -560,6 +577,12 @@ void dl_set_u8(void* handle, int enable) {
 // sample count. Call before the first dl_start_epoch (eval paths).
 void dl_set_pad_last(void* handle, int enable) {
   ((Loader*)handle)->pad_last = enable != 0;
+}
+
+// Emit images in the 2x2 space-to-depth layout [H/2, W/2, 12] (requires
+// even H and W). Call before the first dl_start_epoch.
+void dl_set_s2d(void* handle, int enable) {
+  ((Loader*)handle)->s2d = enable != 0;
 }
 
 // Blocking pop, uint8 mode. Returns batch count (0 on shutdown, -1 if the

@@ -300,6 +300,68 @@ def test_space_to_depth_sum_batch_cotangent_exact():
             np.asarray(g1["conv0"]["kernel"]), rtol=5e-5, atol=1e-5)
 
 
+def test_stem_s2d_before_bn_matches_bn_first():
+    """The reordered stem (space_to_depth -> fold-4 bn_data -> pre_s2d
+    conv0, resnet.py even-dim path) must match the bn-first composition:
+    identical forward, batch stats, and param grads (param SHAPES are the
+    checkpoint contract: bn per original channel, kernel (7,7,C,F)).
+    BN commutes with s2d exactly (same pixel multiset per channel); only
+    f32 reassociation differs."""
+    from flax import linen as fnn
+
+    from dspnet_tpu.models.layers import (
+        BatchNorm, SpaceToDepthConv, space_to_depth)
+
+    class StemOld(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = BatchNorm(fix_gamma=True, name="bn_data")(x, train=True)
+            return SpaceToDepthConv(16, name="conv0")(
+                x, sum_batch_cotangent=True)
+
+    class StemNew(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x2 = space_to_depth(x)
+            x2 = BatchNorm(fix_gamma=True, fold=4, name="bn_data")(
+                x2, train=True, stats_input=x)
+            return SpaceToDepthConv(16, name="conv0")(
+                x2, sum_batch_cotangent=True, pre_s2d=True)
+
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (4, 32, 48, 3), jnp.float32) * 2 + 0.5
+    v = StemOld().init(rng, x)
+    vn = StemNew().init(rng, x)
+    assert jax.tree.map(lambda a: a.shape, v) == jax.tree.map(
+        lambda a: a.shape, vn), "param/stat tree contract changed"
+    w = jax.random.normal(jax.random.PRNGKey(8), (4, 16, 24, 16))
+
+    def run(mod, params):
+        y, m = mod.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            mutable=["batch_stats"])
+        return jnp.sum(y * w), (y, m["batch_stats"])
+
+    (l0, (y0, s0)), g0 = jax.value_and_grad(run, has_aux=True, argnums=1)(
+        StemOld(), v["params"])
+    (l1, (y1, s1)), g1 = jax.value_and_grad(run, has_aux=True, argnums=1)(
+        StemNew(), v["params"])
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=2e-5, atol=2e-5)
+    for k in ("mean", "var"):
+        np.testing.assert_allclose(
+            np.asarray(s0["bn_data"]["BatchNorm_0"][k]),
+            np.asarray(s1["bn_data"]["BatchNorm_0"][k]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(g0["bn_data"]["BatchNorm_0"]["bias"]),
+        np.asarray(g1["bn_data"]["BatchNorm_0"]["bias"]),
+        rtol=5e-5, atol=1e-5)
+    # f32 reassociation across the batch*space contraction: loose rel tol
+    np.testing.assert_allclose(
+        np.asarray(g0["conv0"]["kernel"]),
+        np.asarray(g1["conv0"]["kernel"]), rtol=5e-4, atol=5e-5)
+
+
 def test_concat_conv_tap_split_upsampled_stream():
     """Exact-mode tap-split (1x1-contract at native res -> resize -> 9
     shifted adds, same-resolution streams grouped) must equal

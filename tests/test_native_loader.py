@@ -67,6 +67,44 @@ def test_native_u8_device_normalize_parity(dataset):
         u8.close()
 
 
+def test_native_s2d_is_exact_permutation(dataset):
+    """s2d mode must emit exactly space_to_depth(plain batch) — same pixels,
+    rearranged — in both the f32 and the uint8 (device-normalize) modes."""
+    from dspnet_tpu.models.layers import space_to_depth
+
+    kw = dict(batch_size=2, data_shape=(64, 128), enable_aug=True,
+              shuffle=True, num_threads=2)
+    plain = NativeMultiTaskIterator(dataset, **kw)
+    s2d = NativeMultiTaskIterator(dataset, s2d=True, **kw)
+    s2d_u8 = NativeMultiTaskIterator(dataset, s2d=True, device_normalize=True,
+                                     **kw)
+    try:
+        for _ in range(2):
+            bp, bs, bu = (plain.next_batch(), s2d.next_batch(),
+                          s2d_u8.next_batch())
+            assert bs["images"].shape == (2, 32, 64, 12)
+            np.testing.assert_array_equal(
+                bs["images"], space_to_depth(bp["images"]))
+            np.testing.assert_array_equal(
+                np.asarray(bu["images"]), space_to_depth(bp["images"]))
+            np.testing.assert_array_equal(bs["label_det"], bp["label_det"])
+            np.testing.assert_array_equal(bs["seg_label"], bp["seg_label"])
+    finally:
+        plain.close()
+        s2d.close()
+        s2d_u8.close()
+
+
+def test_python_iterator_s2d_matches_plain(dataset):
+    from dspnet_tpu.models.layers import space_to_depth
+
+    kw = dict(batch_size=2, data_shape=(64, 128), enable_aug=True, shuffle=True)
+    plain = MultiTaskIterator(dataset, **kw)
+    s2d = MultiTaskIterator(dataset, s2d=True, **kw)
+    (bp, _), (bs, _) = plain.next_batch(), s2d.next_batch()
+    np.testing.assert_array_equal(bs["images"], space_to_depth(bp["images"]))
+
+
 def test_native_epoch_yields_fnames(dataset):
     # epoch() pairs each batch with its image paths in emitted order
     it = NativeMultiTaskIterator(dataset, batch_size=2, data_shape=(64, 128),

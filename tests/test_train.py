@@ -96,6 +96,37 @@ def test_single_device_train_step_decreases_loss(rng):
     assert int(state.step) == 6
 
 
+def test_pre_s2d_batch_matches_plain_batch(rng):
+    """The loader-side space-to-depth contract (images delivered as
+    [B, H/2, W/2, 12], models/resnet.py stem) must produce the same loss
+    trajectory and state as the plain [B, H, W, 3] batch — the transform
+    is a pure relayout the model undoes by kernel reindexing."""
+    from dspnet_tpu.utils.benchmark import host_space_to_depth
+
+    H, W = 128, 256
+    cfg = factory.get_config("resnet-18", 512)
+    model = DSPNet(cfg=cfg, num_classes=8, task="multi")
+    anchors = factory.build_anchors(cfg.drop_first_tap(), (H, W))
+
+    batch = _tiny_batch(rng, 2, H, W)
+    batch_s2d = dict(batch, images=host_space_to_depth(batch["images"]))
+    assert batch_s2d["images"].shape == (2, H // 2, W // 2, 12)
+
+    losses = {}
+    for name, b in (("plain", batch), ("s2d", batch_s2d)):
+        solver = MultiTaskSolver(model, anchors, learning_rate=1e-3,
+                                 batch_size=2, seg_normalize="valid")
+        state = solver.init_state(
+            jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+        traj = []
+        for _ in range(3):
+            state, m = solver.train_step(state, b)
+            traj.append(float(m["loss"]))
+        losses[name] = traj
+    np.testing.assert_allclose(losses["plain"], losses["s2d"],
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_fit_aborts_on_divergence(rng):
     """A NaN loss must abort fit() with TrainingDiverged instead of training
     (and checkpointing) garbage for the rest of the run."""
