@@ -169,6 +169,118 @@ def _port_bwd(batch, g):
 _batch_mean_cotangent_port.defvjp(_port_fwd, _port_bwd)
 
 
+@jax.custom_vjp
+def _bn_boundary_cotangent_port(z, k4):
+    """Constant zeros shaped like ``conv(z, k4, stride 1, pad (2,1)x(2,1))``,
+    "attached" to ``z`` — the analytic replacement for the batch-1 dgrad
+    conv of SpaceToDepthConv(sum_batch_cotangent=True).
+
+    The stem's input-side gradient exists ONLY to produce bn_data's beta
+    grad, a full (b, h, w) SUM of the input cotangent per channel. That sum
+    is ``sum_{kh,kw,o} k4[kh,kw,c,o] * RectSum(kh,kw,o)`` where RectSum is
+    the cotangent g summed over the output positions each kernel tap
+    actually touched. Two identities collapse it:
+
+    1. **The full sum of g is exactly zero per channel** when the conv's
+       only consumer is a train-mode BatchNorm normalizing over (b, h, w)
+       (resnet's bn0): the BN backward output is orthogonal to constants
+       (``dx = (gamma/sigma)(gy - mean(gy) - xhat*mean(gy*xhat))`` sums to
+       zero because sum(xhat) = 0). A constant shift of bn_data's beta
+       changes conv0's output by a constant, and bn0 removes constants —
+       the only leakage is the padding boundary.
+    2. RectSum therefore equals MINUS the strip sums the tap's shift
+       excludes: up to 2 top / 1 bottom rows and 1 left / 2 right columns
+       (pad (2,1)x(2,1), 4x4 taps), with corner blocks added back by
+       inclusion-exclusion.
+
+    The backward thus reads only boundary strips of g (a few MB) instead of
+    batch-summing the full cotangent and running a dgrad conv — profiled
+    1.07 ms of the 41.6 ms b8 512x1024 step (fusion.208 + fusion.243,
+    docs/ROOFLINE.md r5). The returned z-cotangent is the constant field
+    ``beta_c / (B*Ho*Wo)`` — correct for every consumer that only uses
+    (b, h, w)-sums of it (the sum_batch_cotangent contract, which resnet's
+    stem satisfies: fix_gamma bn_data over the non-differentiated image).
+
+    CONTRACT (caller asserts by choosing this mode): (a) z's gradient is
+    consumed only through per-channel (b, h, w) sums; (b) the conv output
+    feeds a train-mode BatchNorm over (b, h, w) and nothing else.
+    """
+    b, ho, wo, _ = z.shape
+    return jnp.zeros((b, ho, wo, k4.shape[-1]), z.dtype)
+
+
+def _bn_port_fwd(z, k4):
+    return _bn_boundary_cotangent_port(z, k4), (z.shape, k4)
+
+
+def _bn_port_bwd(res, g):
+    zshape, k4 = res
+    b, ho, wo, cin = zshape
+    # boundary strip sums of g, per output channel o: pad is (2 before,
+    # 1 after) in BOTH dims, so taps exclude up to 2 top rows / 1 bottom
+    # row / 2 left cols / 1 right col; corner blocks restore the
+    # inclusion-exclusion overlaps. Slice in g's dtype FIRST, convert the
+    # small strips to f32 after — converting g up front makes XLA
+    # materialize a full f32 copy of the cotangent (profiled 1.6 ms at
+    # b8 512x1024) just to feed these few-MB reads.
+    def _f32(strip):
+        return strip.astype(jnp.float32)
+
+    top = jnp.sum(_f32(g[:, :2]), axis=(0, 2))          # [2, F] rows 0,1
+    bot = jnp.sum(_f32(g[:, -1:]), axis=(0, 2))         # [1, F]
+    left = jnp.sum(_f32(g[:, :, :2]), axis=(0, 1))      # [2, F] cols 0,1
+    right = jnp.sum(_f32(g[:, :, -1:]), axis=(0, 1))    # [1, F]
+    tl = jnp.sum(_f32(g[:, :2, :2]), axis=0)            # [2, 2, F]
+    tr = jnp.sum(_f32(g[:, :2, -1:]), axis=0)           # [2, 1, F]
+    bl = jnp.sum(_f32(g[:, -1:, :2]), axis=0)           # [1, 2, F]
+    br = jnp.sum(_f32(g[:, -1:, -1:]), axis=0)          # [1, 1, F]
+
+    zero = jnp.zeros_like(top[0])
+
+    def T(n):  # sum of the n excluded top rows
+        return top[:n].sum(0) if n else zero
+
+    def Bo(n):
+        return bot[-n:].sum(0) if n else zero
+
+    def L(n):
+        return left[:n].sum(0) if n else zero
+
+    def R(n):
+        return right[-n:].sum(0) if n else zero
+
+    def TL(n, m):
+        return tl[:n, :m].sum((0, 1)) if n and m else zero
+
+    def TR(n, m):
+        return tr[:n, -m:].sum((0, 1)) if n and m else zero
+
+    def BL(n, m):
+        return bl[-n:, :m].sum((0, 1)) if n and m else zero
+
+    def BR(n, m):
+        return br[-n:, -m:].sum((0, 1)) if n and m else zero
+
+    rect = []
+    for kh in range(4):
+        nt, nb = max(0, 2 - kh), max(0, kh - 2)
+        row = []
+        for kw in range(4):
+            nl, nr = max(0, 2 - kw), max(0, kw - 2)
+            # S (= 0 by identity 1) minus excluded strips, corners restored
+            row.append(-T(nt) - Bo(nb) - L(nl) - R(nr)
+                       + TL(nt, nl) + TR(nt, nr) + BL(nb, nl) + BR(nb, nr))
+        rect.append(jnp.stack(row))
+    rect = jnp.stack(rect)  # [4, 4, F]
+    beta = jnp.einsum("hwcf,hwf->c", k4.astype(jnp.float32), rect)  # [cin]
+    zcot = jnp.broadcast_to(
+        (beta / (b * ho * wo)).astype(g.dtype), (b, ho, wo, cin))
+    return zcot, jnp.zeros_like(k4)
+
+
+_bn_boundary_cotangent_port.defvjp(_bn_port_fwd, _bn_port_bwd)
+
+
 def space_to_depth(x):
     """[B, H, W, C] -> [B, H/2, W/2, 4C], channel order (dy, dx, c) with c
     minor — the layout SpaceToDepthConv(pre_s2d=True) consumes. Kept as a
@@ -201,7 +313,7 @@ class SpaceToDepthConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, sum_batch_cotangent: bool = False,
-                 pre_s2d: bool = False):
+                 pre_s2d: bool = False, bn_boundary_beta: bool = False):
         """``sum_batch_cotangent=True`` reroutes the backward input-gradient
         through a batch-1 dgrad conv of the batch-summed output cotangent.
         Value-identical forward; the input cotangent becomes the per-sample
@@ -219,7 +331,14 @@ class SpaceToDepthConv(nn.Module):
         ``pre_s2d=True``: the caller already applied :func:`space_to_depth`
         (e.g. to hoist the relayout above bn_data); ``x`` is
         [B, H/2, W/2, 4C] in (dy, dx, c) channel order. The parameter stays
-        the logical ``(7, 7, C, F)`` kernel either way."""
+        the logical ``(7, 7, C, F)`` kernel either way.
+
+        ``bn_boundary_beta=True`` (requires sum_batch_cotangent and the s2d
+        path): additionally asserts the conv output feeds a TRAIN-mode
+        BatchNorm over (b, h, w) and nothing else, which makes the full sum
+        of the output cotangent exactly zero per channel — the input-side
+        gradient then comes from boundary strips alone
+        (:func:`_bn_boundary_cotangent_port`), no dgrad conv at all."""
         if pre_s2d:
             b, _, _, c4 = x.shape
             c = c4 // 4
@@ -242,11 +361,18 @@ class SpaceToDepthConv(nn.Module):
             if not sum_batch_cotangent or z.shape[0] <= 1:
                 return apply_conv(z, kz, stride, pad)
             zs = jax.lax.stop_gradient(z)
+            y = apply_conv(zs, kz, stride, pad)  # wgrad path: exact (value z)
+            if (bn_boundary_beta and stride == (1, 1)
+                    and pad == ((2, 1), (2, 1))
+                    and z.shape[1] >= 4 and z.shape[2] >= 4):
+                # input-side gradient from boundary strips only (see
+                # _bn_boundary_cotangent_port; forward term is zeros)
+                return y + _bn_boundary_cotangent_port(
+                    z, jax.lax.stop_gradient(kz))
             # _batch_mean_cotangent_port: constant-zero [1,h,w,c] forward
             # (XLA folds the whole port branch out of the forward graph),
             # whose cotangent returns to z as g/B per sample (sum-preserving)
             z1 = _batch_mean_cotangent_port(z)
-            y = apply_conv(zs, kz, stride, pad)  # wgrad path: exact (value z)
             # dgrad path: batch-1 conv of the batch-summed cotangent (the
             # kernel grad of this branch is exactly 0 — input value is 0 —
             # so stop it instead of paying a second wgrad conv)

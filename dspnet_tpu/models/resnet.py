@@ -115,8 +115,12 @@ class ResNet(nn.Module):
             # wrote the final arrangement. bn_data stats fold back per
             # original RGB channel (identical math, see _BatchNormImpl).
             x = BatchNorm(fix_gamma=True, fold=4, name="bn_data")(x, train)
+            # bn_boundary_beta: conv0's output feeds ONLY the train-mode
+            # bn0 below, so its cotangent sums to zero per channel and
+            # bn_data's beta grad needs boundary strips only (layers.py)
             x = SpaceToDepthConv(filter_list[0], name="conv0")(
-                x, sum_batch_cotangent=train, pre_s2d=True)
+                x, sum_batch_cotangent=train, pre_s2d=True,
+                bn_boundary_beta=train)
         elif x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             x2 = space_to_depth(x)
             # stats from the pre-s2d view (identical values, contiguous
@@ -124,7 +128,8 @@ class ResNet(nn.Module):
             x = BatchNorm(fix_gamma=True, fold=4, name="bn_data")(
                 x2, train, stats_input=x)
             x = SpaceToDepthConv(filter_list[0], name="conv0")(
-                x, sum_batch_cotangent=train, pre_s2d=True)
+                x, sum_batch_cotangent=train, pre_s2d=True,
+                bn_boundary_beta=train)
         else:
             x = BatchNorm(fix_gamma=True, name="bn_data")(x, train)
             x = SpaceToDepthConv(filter_list[0], name="conv0")(

@@ -50,6 +50,44 @@ def test_ssd_train_step_4channel(det_dataset):
     assert "seg_loss" not in metrics
 
 
+def test_ssd_memorizes_and_scores_one_batch():
+    """End-to-end SSD-pillar floor (VERDICT r4 item 3): overfit one fixed
+    batch, then decode with the Detector and score with MApMetric — the
+    GT classes must reach AP ~1.0. This exercises target assignment, the
+    4-channel loss, decode/NMS, and the metric in one closed loop with a
+    known answer; the full convergence trajectory (real images, the det
+    loader's crop/pad/mirror/jitter aug, VOC07 scoring) is the TPU run in
+    docs/VOC_CONVERGENCE.md."""
+    from dspnet_tpu.detect.detector import Detector
+    from dspnet_tpu.evaluate.eval_metric import MApMetric
+
+    H = W = 96
+    bundle = create_model("resnet-18", (H, W), num_classes=8)
+    solver = MultiTaskSolver(bundle.model, bundle.anchors,
+                             learning_rate=2.5e-3, batch_size=4)
+    state = solver.init_state(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
+    rng = np.random.RandomState(0)
+    img = rng.rand(4, H, W, 3).astype(np.float32) * 200 - 100
+    lab = np.full((4, 100, 6), -1.0, np.float32)
+    lab[:, 0] = [2.0, 0.2, 0.2, 0.7, 0.7, 0.0]
+    lab[:, 1] = [5.0, 0.5, 0.1, 0.9, 0.6, 0.0]
+    batch = {"images": img, "label_det": lab}
+    for _ in range(300):
+        state, m = solver.train_step(state, batch)
+    assert float(m["cross_entropy"]) < 0.5, m
+    det = Detector(bundle.model, MultiTaskSolver.detector_variables(state),
+                   bundle.anchors, (H, W))
+    d = np.asarray(det.predict(img)["det"])
+    metric = MApMetric(0.5, False, [f"c{i}" for i in range(8)])
+    metric.update([lab[b] for b in range(4)], [d[b] for b in range(4)])
+    names, vals = metric.get()
+    ap = dict(zip(names, vals))
+    # the GT classes must be found with tight boxes; classes without GT
+    # collect low-score junk (AP 0 by the parity metric's definition) so
+    # the composite mAP is not the right floor here
+    assert ap["c2"] >= 0.9 and ap["c5"] >= 0.9, ap
+
+
 def test_merge_param_subtree():
     params = {"backbone": {"conv": np.zeros((3, 3)), "bn": np.zeros(4)},
               "head": {"w": np.ones(2)}}

@@ -362,6 +362,62 @@ def test_stem_s2d_before_bn_matches_bn_first():
         np.asarray(g1["conv0"]["kernel"]), rtol=5e-4, atol=5e-5)
 
 
+def test_bn_boundary_beta_grad_exact_in_stem_context():
+    """bn_boundary_beta computes bn_data's beta grad from boundary strips
+    of the conv-output cotangent, using the identity that a train-mode
+    BatchNorm's input cotangent sums to exactly zero per channel. In the
+    real stem context (bn_data -> conv0 -> bn0(train) -> relu -> loss) the
+    param grads must match plain autodiff; the test also checks the
+    identity premise directly."""
+    from flax import linen as fnn
+
+    from dspnet_tpu.models.layers import (
+        BatchNorm, SpaceToDepthConv, space_to_depth)
+
+    class Stem(fnn.Module):
+        mode: str  # "plain" | "batch_sum" | "boundary"
+
+        @fnn.compact
+        def __call__(self, x):
+            x2 = space_to_depth(x)
+            x2 = BatchNorm(fix_gamma=True, fold=4, name="bn_data")(
+                x2, train=True, stats_input=x)
+            y = SpaceToDepthConv(16, name="conv0")(
+                x2, sum_batch_cotangent=self.mode != "plain", pre_s2d=True,
+                bn_boundary_beta=self.mode == "boundary")
+            y = BatchNorm(name="bn0")(y, train=True)
+            return fnn.relu(y)
+
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (4, 24, 32, 3), jnp.float32) * 2 + 0.5
+    v = Stem(mode="plain").init(rng, x)
+    w = jax.random.normal(jax.random.PRNGKey(12), (4, 12, 16, 16))
+
+    def loss(params, mode):
+        y, _ = Stem(mode=mode).apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            mutable=["batch_stats"])
+        return jnp.sum(y * w)
+
+    grads = {m: jax.grad(loss)(v["params"], m)
+             for m in ("plain", "batch_sum", "boundary")}
+    # the boundary mode substitutes 0 for the interior sum of the cotangent;
+    # its grads matching plain autodiff IS the verification of the premise
+    for m in ("batch_sum", "boundary"):
+        np.testing.assert_allclose(
+            np.asarray(grads[m]["bn_data"]["BatchNorm_0"]["bias"]),
+            np.asarray(grads["plain"]["bn_data"]["BatchNorm_0"]["bias"]),
+            rtol=2e-3, atol=2e-5, err_msg=m)
+        np.testing.assert_allclose(
+            np.asarray(grads[m]["conv0"]["kernel"]),
+            np.asarray(grads["plain"]["conv0"]["kernel"]),
+            rtol=5e-4, atol=5e-5, err_msg=m)
+        np.testing.assert_allclose(
+            np.asarray(grads[m]["bn0"]["BatchNorm_0"]["bias"]),
+            np.asarray(grads["plain"]["bn0"]["BatchNorm_0"]["bias"]),
+            rtol=5e-5, atol=1e-6, err_msg=m)
+
+
 def test_concat_conv_tap_split_upsampled_stream():
     """Exact-mode tap-split (1x1-contract at native res -> resize -> 9
     shifted adds, same-resolution streams grouped) must equal
