@@ -172,3 +172,13 @@ def test_data_parallel_mesh_8_devices(rng):
     # params must stay replicated after the update
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+    # the loaders' space-to-depth batch contract shards and steps the same
+    # way (images [B, H/2, W/2, 12]; boundary-beta strip slices under pjit)
+    from dspnet_tpu.utils.benchmark import host_space_to_depth
+
+    b2 = _tiny_batch(rng, 8, H, W)
+    b2["images"] = host_space_to_depth(b2["images"])
+    b2 = shard_batch(mesh, b2)
+    state, metrics = solver.train_step(state, b2)
+    assert np.isfinite(float(metrics["loss"]))
