@@ -40,9 +40,27 @@ def resolve_dataset(args, split: str):
             seed=233 if split == "train" else 91,
             with_instances=getattr(args, "instance_eval", False),
         )
-    from dspnet_tpu.data.imdb import load_index
+    from dspnet_tpu.data.imdb import (CITYSCAPES_DET_CLASSES, VOC_CLASSES,
+                                      load_index)
 
-    return load_index(args.dataset_root, split)
+    # Thread the model's class-name table into XML-backed layouts so the
+    # name->id mapping matches the head the labels will train/score (the
+    # reference's cfg.dataset.class_names contract). Without this, an
+    # 8-class run over a VOC tree silently indexed annotations with the
+    # 20-class VOC table: rider/truck/motorcycle dropped as unknown names,
+    # the rest trained under scrambled ids (caught by the mAP collapse in
+    # the round-5 VOC convergence run).
+    classes = None
+    spec = getattr(args, "class_names", "")
+    if spec:
+        classes = resolve_class_names(spec, None)
+    else:
+        nc = int(getattr(args, "num_classes", 0) or 0)
+        if nc == len(CITYSCAPES_DET_CLASSES):
+            classes = list(CITYSCAPES_DET_CLASSES)
+        elif nc == len(VOC_CLASSES):
+            classes = list(VOC_CLASSES)
+    return load_index(args.dataset_root, split, classes=classes)
 
 
 def resolve_class_names(spec: str, default):

@@ -29,6 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--network", default="resnet-50_multi")
     p.add_argument("--data-shape", default="3,512,1024")
     p.add_argument("--num-classes", type=int, default=8)
+    p.add_argument("--class-names", default="",
+                   help="comma list or file of one name per line; sets the "
+                        "name->id table for XML-backed datasets (defaults: "
+                        "8 -> Cityscapes det names, 20 -> VOC names)")
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--lr", type=float, default=0.0005)
     p.add_argument("--momentum", type=float, default=0.9)
@@ -141,6 +145,15 @@ def main(argv=None):
              bundle.name, bundle.task, bundle.num_anchors, H, W)
 
     train_index = resolve_dataset(args, "train")
+    # label-space invariant: every GT class id must fit the head being
+    # trained — a dataset indexed with the wrong name table fails HERE, not
+    # as a silently-scrambled mAP hundreds of epochs later
+    max_cid = max((int(s.label[:, 0].max()) for s in train_index.samples
+                   if s.label.size), default=-1)
+    assert max_cid < args.num_classes, (
+        f"dataset labels carry class id {max_cid} but --num-classes is "
+        f"{args.num_classes}; pass --class-names matching the annotation "
+        f"names (or fix --num-classes)")
     # multi-host: each host reads its rank::world slice of the global epoch
     # and loads 1/world of the global batch (mesh.shard_batch assembles)
     shard = (jax.process_index(), jax.process_count())

@@ -410,11 +410,18 @@ class TestDB(Imdb):
         return [Sample(p, empty.copy()) for p in self.images]
 
 
-def load_index(root: str, split: str) -> SampleIndex:
+def load_index(root: str, split: str,
+               classes: Optional[Sequence[str]] = None) -> SampleIndex:
     """Auto-detect the dataset layout under ``root`` and return the split.
 
     Packed record stores win: ``root`` may be a ``.drec`` file or a directory
-    holding ``{split}.drec`` (see dspnet_tpu/data/record.py)."""
+    holding ``{split}.drec`` (see dspnet_tpu/data/record.py).
+
+    ``classes`` sets the name->id table for XML-backed layouts (the
+    reference threads cfg class names into every imdb —
+    dataset/pascal_voc.py:41); None keeps each layout's default
+    (VOC 20 / Cityscapes-det 8). Record stores carry numeric ids fixed at
+    pack time, so ``classes`` does not apply there."""
     assert root, "--dataset-root (or --synthetic) required"
     from dspnet_tpu.data import record
 
@@ -423,19 +430,23 @@ def load_index(root: str, split: str) -> SampleIndex:
         return record.load_record_index(rec_prefix)
     if os.path.exists(os.path.join(root, "ImageSets", "Main", split + ".txt")):
         if os.path.isdir(os.path.join(root, "SegmentationClass")):
-            return CityscapesDetSeg(split, root).index()
+            return CityscapesDetSeg(
+                split, root,
+                **({"classes": classes} if classes else {})).index()
         # VOC layout rooted HERE: root is .../VOC{year} itself — PascalVoc
         # joins root+VOC{year}, so hand it the parent (the old
         # PascalVoc(split, "", root) fallback silently required a root/VOC
         # nesting that contradicted the ImageSets check above)
         head, tail = os.path.split(os.path.abspath(root).rstrip(os.sep))
         if tail.startswith("VOC"):
-            return PascalVoc(split, tail[3:], head).index()
+            return PascalVoc(split, tail[3:], head,
+                             **({"classes": classes} if classes else {})).index()
     # devkit root: a VOC{year}/ child holding the split (synthetic.
     # build_voc_dataset writes this layout; so does the real VOCdevkit)
     if os.path.isdir(root):
         for d in sorted(os.listdir(root)):
             if d.startswith("VOC") and os.path.exists(
                     os.path.join(root, d, "ImageSets", "Main", split + ".txt")):
-                return PascalVoc(split, d[3:], root).index()
+                return PascalVoc(split, d[3:], root,
+                                 **({"classes": classes} if classes else {})).index()
     raise FileNotFoundError(f"no recognizable dataset at {root} (split {split})")

@@ -35,14 +35,44 @@ probe() {
     "import jax; jax.devices()" >/dev/null 2>&1
 }
 
+progress_mtime() {
+  # newest mtime in the model dir — checkpoint saves bump it, so set
+  # WATCHDOG_S comfortably above compile time + checkpoint-every interval
+  find "$model_dir" -type f -printf '%T@\n' 2>/dev/null | sort -rn | head -1
+}
+
 while true; do
   until probe; do
     echo "run_resumable: device backend unreachable; re-probing in 60s" >&2
     sleep 60
   done
   stamp=$(mktemp)
-  python -m dspnet_tpu.cli.multi_train "$@" --resume 0 && { rm -f "$stamp"; exit 0; }
+  # Run the trainer in the background with a PROGRESS WATCHDOG: a process
+  # that opened its tunnel connection during an outage can wedge forever
+  # without erroring (observed 2026-08-20: 11 s CPU over 17 min, device
+  # probe healthy). If neither the model dir nor the process exits within
+  # WATCHDOG_S of the last progress, SIGKILL it and let the retry loop
+  # restore the latest checkpoint.
+  python -m dspnet_tpu.cli.multi_train "$@" --resume 0 &
+  train_pid=$!
+  wd=${WATCHDOG_S:-1800}
+  start_ts=$(date +%s)
+  while kill -0 "$train_pid" 2>/dev/null; do
+    sleep 30
+    last=$(progress_mtime)
+    now=$(date +%s)
+    ref=${last%%.*}
+    [ -z "$ref" ] && ref=$start_ts
+    [ "$ref" -lt "$start_ts" ] && ref=$start_ts
+    if [ $((now - ref)) -gt "$wd" ]; then
+      echo "run_resumable: no progress for ${wd}s; killing wedged trainer $train_pid" >&2
+      kill -9 "$train_pid" 2>/dev/null
+      break
+    fi
+  done
+  wait "$train_pid"
   rc=$?
+  [ "$rc" -eq 0 ] && { rm -f "$stamp"; exit 0; }
   if [ "$rc" -eq 3 ]; then
     # exit 3 = TrainingDiverged (NaN/inf loss): deterministic — a resume
     # replays the same seeded epoch and diverges again. Don't retry.

@@ -49,6 +49,61 @@ def test_voc_train_then_eval_cli(tmp_path):
     assert abs(res["mAP"] - res["devkit_mAP"]) < 0.3
 
 
+def test_class_table_threads_into_training_index(tmp_path):
+    """The name->id table the training index uses must match the head being
+    trained. Regression for the round-5 VOC convergence collapse: load_index
+    defaulted to the VOC 20-class table for any VOC-layout tree, so an
+    8-class run silently dropped rider/truck/motorcycle (unknown names) and
+    trained the rest under scrambled 20-class ids — val mAP 0.065 after 1600
+    converged epochs. resolve_dataset now derives the table from
+    --class-names/--num-classes, and multi_train asserts every GT id fits."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from dspnet_tpu.cli.common import resolve_dataset
+    from dspnet_tpu.cli import multi_train
+    from dspnet_tpu.data.imdb import load_index
+
+    root = synthetic.build_voc_dataset(
+        str(tmp_path / "devkit"), num_samples=6, hw=(96, 96), seed=3)
+
+    def ids(index):
+        out = set()
+        for s in index.samples:
+            rows = s.label[s.label[:, 0] >= 0]
+            out.update(int(c) for c in rows[:, 0])
+        return sorted(out)
+
+    names = synthetic.class_names()
+    good = ids(load_index(root, "train", classes=names))
+    assert good and max(good) < len(names)
+
+    # the old default (VOC 20-class table) produces a DIFFERENT mapping:
+    # out-of-range ids and/or dropped objects — the bug this test pins
+    bad = ids(load_index(root, "train"))
+    assert bad != good
+
+    # resolve_dataset derives the 8-name table from --num-classes alone
+    ns = SimpleNamespace(dataset_root=root, num_classes=8, class_names="")
+    assert ids(resolve_dataset(ns, "train")) == good
+    # ... and --class-names wins outright
+    ns = SimpleNamespace(dataset_root=root, num_classes=8,
+                         class_names=",".join(names))
+    assert ids(resolve_dataset(ns, "train")) == good
+
+    # a table/head mismatch must fail at startup, not as scrambled mAP:
+    # --num-classes 4 leaves the default (20-class) table in place, whose
+    # ids exceed the 4-class head
+    with pytest.raises(AssertionError, match="class id"):
+        multi_train.main([
+            "--network", "resnet-18", "--data-shape", "3,96,96",
+            "--num-classes", "4", "--batch-size", "2", "--end-epoch", "1",
+            "--dataset-root", root, "--loader", "det",
+            "--model-dir", str(tmp_path / "m"), "--num-devices", "1",
+        ])
+
+
 def test_use_difficult_switches_metric(tmp_path):
     """PascalVoc(difficult_in_label=True) + DetIterator passthrough carry the
     difficult flag into MApMetric labels column 5; use_difficult toggles
