@@ -42,16 +42,24 @@ trap 'kill $SAMPLER 2>/dev/null' EXIT
 ) &
 
 t0=$(date +%s)
+# --seg-normalize valid: the reference's unnormalized per-pixel-SUM seg
+# loss is calibrated to lr 5e-4 and diverges at this run's lr 0.002 (the
+# TrainingDiverged guard caught exactly that on the first attempt)
 MAX_RETRIES=20 scripts/run_resumable.sh \
   --network resnet-50_multi --data-shape 3,512,1024 --num-classes 8 \
-  --batch-size 8 --compute-dtype bfloat16 --lr 0.002 \
+  --batch-size 8 --compute-dtype bfloat16 --lr 0.002 --seg-normalize valid \
   --dataset-root "$ROOT" --model-dir "$MD" \
   --loader native --native-u8 --loader-threads 8 \
   --end-epoch "$EPOCHS" --eval-every 8 --checkpoint-every 4 \
   --lr-steps "$((EPOCHS * 6 / 10)),$((EPOCHS * 85 / 100))" \
   --metrics-jsonl "$LOG/metrics.jsonl" 2>&1 | tee -a "$LOG/train.log" | \
   grep --line-buffered -E "epoch .* (done|validation)|resumable|input-s2d|native"
-echo "scale_run: train wall $(($(date +%s) - t0)) s" | tee -a "$LOG/events.log"
+rc=${PIPESTATUS[0]}
+echo "scale_run: train wall $(($(date +%s) - t0)) s (rc=$rc)" | tee -a "$LOG/events.log"
+if [ "$rc" -ne 0 ]; then
+  echo "scale_run: training failed (rc=$rc); skipping evals" | tee -a "$LOG/events.log"
+  exit "$rc"
+fi
 
 # final eval: plain + instance-level (item 6 re-measurement), both timed
 for extra in "" "--instance-eval"; do
