@@ -481,7 +481,7 @@ class MultiTaskSolver:
             # params, so every process holds full copies and np.asarray is a
             # local read); other processes skip straight to the next epoch
             # and wait at its first train-step collective.
-            if eval_iter is not None and eval_every > 0 and (epoch + 1) % eval_every == 0 \
+            if eval_iter is not None and eval_every > 0 and (ep + 1) % eval_every == 0 \
                     and jax.process_index() == 0:
                 from dspnet_tpu.evaluate.loop import evaluate_model
 

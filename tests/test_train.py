@@ -182,3 +182,38 @@ def test_data_parallel_mesh_8_devices(rng):
     b2 = shard_batch(mesh, b2)
     state, metrics = solver.train_step(state, b2)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_cadence_uses_absolute_epoch(rng, monkeypatch):
+    """A resumed fit() (epoch_offset > 0) must keep the eval schedule
+    anchored on ABSOLUTE epochs: eval_every=4 evals after epochs 3, 7, ...
+    regardless of where the resume started. (The r5 scale rehearsal resumed
+    from epoch 3 and silently shifted its 500-image evals by the offset.)"""
+    H, W = 128, 256
+    cfg = factory.get_config("resnet-18", 512)
+    model = DSPNet(cfg=cfg, num_classes=8, task="multi")
+    anchors = factory.build_anchors(cfg.drop_first_tap(), (H, W))
+    solver = MultiTaskSolver(model, anchors, learning_rate=1e-3, batch_size=2,
+                             seg_normalize="valid")
+    batch = _tiny_batch(rng, 2, H, W)
+    state = solver.init_state(jax.random.PRNGKey(0),
+                              jnp.asarray(batch["images"]))
+
+    evaled = []
+    import dspnet_tpu.evaluate.loop as eval_loop
+
+    def fake_eval(detector, it, log_fn=None, **kw):
+        evaled.append(None)
+        return {}
+
+    monkeypatch.setattr(eval_loop, "evaluate_model", fake_eval)
+    val_rows = []
+    # resume at absolute epoch 2, run 4 epochs (abs 2..5): with
+    # eval_every=4 only absolute epoch 3 matches ((ep+1) % 4 == 0)
+    solver.fit(state, [batch], num_epochs=4, eval_iter=[batch],
+               eval_every=4, data_shape=(H, W), epoch_offset=2,
+               log_fn=lambda *_: None, log_every=100,
+               metrics_sink=lambda ep, split, m: val_rows.append((ep, split)))
+    assert len(evaled) == 1
+    assert ("train", ) == tuple({s for _, s in val_rows if s == "train"})
+    assert (3, "val") in val_rows
